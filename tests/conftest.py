@@ -1,0 +1,21 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh so CI
+needs no TPU (SURVEY.md §4 'fake CPU device path')."""
+
+import os
+
+# Must be set before jax imports anywhere in the test process. Force CPU even
+# if the environment preset a TPU platform — tests run on the virtual mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
