@@ -1,0 +1,68 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vse_tpu.ops.db_postprocess import (
+    box_mean_scores,
+    component_boxes,
+    connected_component_labels,
+    db_postprocess,
+    db_postprocess_host,
+)
+
+
+def make_prob_map(h=64, w=128):
+    prob = np.zeros((h, w), np.float32)
+    # two text-like blobs
+    prob[10:20, 8:60] = 0.9
+    prob[40:52, 30:100] = 0.8
+    # a tiny noise blob below min_area
+    prob[30:31, 120:122] = 0.95
+    return prob
+
+
+def test_connected_components_match_scipy():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(1)
+    binary = np.zeros((40, 60), bool)
+    binary[5:12, 5:30] = True
+    binary[20:30, 40:55] = True
+    binary[25:28, 2:10] = True
+    labels = np.array(connected_component_labels(jnp.asarray(binary)))
+    ref, n = ndimage.label(binary, structure=np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+    # same partition: pixels share a device label iff they share a scipy label
+    fg = binary.nonzero()
+    dev = labels[fg]
+    sci = ref[fg]
+    mapping = {}
+    for d, s in zip(dev, sci):
+        assert mapping.setdefault(d, s) == s
+    assert len(set(mapping.values())) == n
+
+
+def test_db_postprocess_device_matches_host():
+    prob = make_prob_map()
+    boxes_d, scores_d, valid_d = db_postprocess(jnp.asarray(prob)[None], max_boxes=4)
+    boxes_h, scores_h, valid_h = db_postprocess_host(prob, max_boxes=4)
+    boxes_d = np.array(boxes_d[0])
+    valid_d = np.array(valid_d[0])
+    got = {tuple(np.round(b, 2)) for b, v in zip(boxes_d, valid_d) if v}
+    want = {tuple(np.round(b, 2)) for b, v in zip(boxes_h, valid_h) if v}
+    assert got == want
+    assert valid_d.sum() == valid_h.sum() == 2  # noise blob filtered by area
+
+
+def test_box_scores_integral_image():
+    prob = make_prob_map()
+    boxes = jnp.asarray([[8.0, 10.0, 59.0, 19.0]])  # first blob exactly
+    s = np.array(box_mean_scores(jnp.asarray(prob), boxes))
+    assert s[0] == pytest.approx(0.9, abs=1e-5)
+
+
+def test_component_boxes_order_by_area():
+    prob = make_prob_map()
+    boxes, areas = component_boxes(jnp.asarray(prob > 0.3), max_boxes=4)
+    areas = np.array(areas)
+    assert areas[0] >= areas[1] >= areas[2]
+    assert areas[0] == 12 * 70  # second blob is biggest

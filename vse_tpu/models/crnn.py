@@ -1,0 +1,82 @@
+"""CRNN text recognizer (CNN backbone -> BiLSTM neck -> CTC head) in flax.
+
+TPU-native re-implementation of the reference's recognition stage — PaddleOCR
+CRNN (reference backend/tools/ocr.py:97 selects `rec_algorithm="CRNN"`), with
+the reference's input geometry: 3x48x320 for V3/V4 models, 3x32x320 for V2
+(reference backend/tools/paddle_model_config.py:93-97). Output is per-step
+logits over (vocab + 1 blank) consumed by the CTC decoder
+(vse_tpu/ops/ctc.py).
+
+The BiLSTM scans run as `jax.lax.scan` over the W/4-length sequence axis —
+static length, so XLA unrolls the recurrence into an efficient while loop on
+device; the LSTM matmuls are batched onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vse_tpu.models.mobilenet_v3 import MobileNetV3Rec
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM layer over [B, T, C]."""
+
+    hidden: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = nn.RNN(
+            nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype,
+                                 param_dtype=jnp.float32),
+            name="fwd",
+        )
+        bwd = nn.RNN(
+            nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype,
+                                 param_dtype=jnp.float32),
+            reverse=True,
+            keep_order=True,
+            name="bwd",
+        )
+        return jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+
+
+class CRNNRecognizer(nn.Module):
+    """CRNN: MobileNetV3 feature extractor -> 2x BiLSTM -> CTC projection.
+
+    variant="mobile": MobileNetV3-small x0.5, hidden 48 (the reference's
+    *_rec_fast class). variant="server": MobileNetV3-large x1.0, hidden 256.
+    """
+
+    vocab_size: int  # number of real characters (blank is added internally)
+    variant: str = "mobile"
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def num_classes(self) -> int:
+        return self.vocab_size + 1  # + CTC blank (index 0)
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """images: [B, H, W, 3] normalized crops -> logits [B, W//4, vocab+1]."""
+        x = images.astype(self.dtype)
+        if self.variant == "mobile":
+            x = MobileNetV3Rec(arch="small", scale=0.5, dtype=self.dtype)(x, train)
+            hidden = 48
+        elif self.variant == "server":
+            x = MobileNetV3Rec(arch="large", scale=1.0, dtype=self.dtype)(x, train)
+            hidden = 256
+        else:
+            raise ValueError(f"unknown rec variant {self.variant}")
+        x = BiLSTM(hidden, dtype=self.dtype, name="lstm1")(x)
+        x = BiLSTM(hidden, dtype=self.dtype, name="lstm2")(x)
+        logits = nn.Dense(
+            self.num_classes, dtype=self.dtype, param_dtype=jnp.float32,
+            name="ctc_fc",
+        )(x)
+        return logits.astype(jnp.float32)

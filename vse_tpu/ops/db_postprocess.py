@@ -1,0 +1,241 @@
+"""DB probability-map -> text boxes, device-side.
+
+The reference's DB postprocess (inside PaddleOCR, consumed via
+`OcrRecogniser.predict`, reference backend/tools/ocr.py:24-86) binarizes at
+``thresh=0.3``, finds contours with OpenCV, takes min-area rects, expands them
+with pyclipper (``unclip_ratio``), and keeps boxes whose mean prob exceeds
+``box_thresh=0.6``. That is irregular host code; SURVEY.md §7 ranks a
+device-resident redesign as hard part #2.
+
+TPU-native design (static shapes throughout):
+
+1. binarize: ``bin = prob > thresh``.
+2. connected components by iterative *segmented min-label propagation*:
+   labels start as the pixel's linear index; alternating row/column segmented
+   min-scans (associative_scan) spread the component minimum. Text boxes are
+   near-rectangular, so a handful of sweeps converges (each sweep fully
+   propagates along one axis within a component).
+3. per-component stats by scatter-add/min/max into an H*W-bin table keyed by
+   root label (one fused scatter per stat).
+4. top-K components by area -> (xmin, ymin, xmax, ymax) + validity mask.
+5. score: mean prob inside each box via a 2-D integral image (O(1) per box).
+6. unclip: expand each box by the DB offset delta = area * ratio / perimeter.
+
+A host (numpy/cv2) reference implementation is kept for verification.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = jnp.int32(2**30)
+
+
+def _segmented_min_scan(labels: jnp.ndarray, fg: jnp.ndarray, axis: int, reverse: bool) -> jnp.ndarray:
+    """Segmented running-min of `labels` along `axis`; background pixels reset
+    segments (their labels pass through unchanged)."""
+    bg = ~fg
+
+    def combine(a, b):
+        a_v, a_r = a
+        b_v, b_r = b
+        v = jnp.where(b_r, b_v, jnp.minimum(a_v, b_v))
+        r = a_r | b_r
+        return v, r
+
+    v, _ = jax.lax.associative_scan(
+        combine, (labels, bg), axis=axis, reverse=reverse
+    )
+    return jnp.where(fg, v, labels)
+
+
+def connected_component_labels(binary: jnp.ndarray, num_sweeps: int = 4) -> jnp.ndarray:
+    """Label 4-connected components of a [H, W] bool map.
+
+    Returns int32 labels: component pixels share the min linear index of the
+    component (after convergence); background = INF. `num_sweeps` bounds the
+    propagation; text-shaped (near-convex) components converge in 2 sweeps.
+    """
+    H, W = binary.shape
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    labels = jnp.where(binary, lin, INF)
+
+    def sweep(labels, _):
+        labels = _segmented_min_scan(labels, binary, axis=1, reverse=False)
+        labels = _segmented_min_scan(labels, binary, axis=1, reverse=True)
+        labels = _segmented_min_scan(labels, binary, axis=0, reverse=False)
+        labels = _segmented_min_scan(labels, binary, axis=0, reverse=True)
+        return labels, None
+
+    labels, _ = jax.lax.scan(sweep, labels, None, length=num_sweeps)
+    return labels
+
+
+def component_boxes(
+    binary: jnp.ndarray, max_boxes: int, num_sweeps: int = 4
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract up to `max_boxes` component bounding boxes from a [H, W] bool map.
+
+    Returns:
+      boxes: [K, 4] float32 (xmin, ymin, xmax, ymax), ordered by area desc.
+      areas: [K] int32 pixel counts (0 where no component).
+    """
+    H, W = binary.shape
+    labels = connected_component_labels(binary, num_sweeps)
+    flat_labels = jnp.where(binary, labels, 0).reshape(-1)
+    fgf = binary.reshape(-1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).reshape(-1)
+
+    nbins = H * W
+    area = jnp.zeros((nbins,), jnp.int32).at[flat_labels].add(
+        fgf.astype(jnp.int32), mode="drop"
+    )
+    big = jnp.int32(2**30)
+    rmin = jnp.full((nbins,), big, jnp.int32).at[flat_labels].min(
+        jnp.where(fgf, rows, big), mode="drop"
+    )
+    rmax = jnp.full((nbins,), -1, jnp.int32).at[flat_labels].max(
+        jnp.where(fgf, rows, -1), mode="drop"
+    )
+    cmin = jnp.full((nbins,), big, jnp.int32).at[flat_labels].min(
+        jnp.where(fgf, cols, big), mode="drop"
+    )
+    cmax = jnp.full((nbins,), -1, jnp.int32).at[flat_labels].max(
+        jnp.where(fgf, cols, -1), mode="drop"
+    )
+    # bin 0 can collect background writes only when pixel (0,0) is bg; those
+    # writes carry fg=False so area stays 0 there unless (0,0) is a root.
+    top_area, top_idx = jax.lax.top_k(area, max_boxes)
+    boxes = jnp.stack(
+        [
+            cmin[top_idx].astype(jnp.float32),
+            rmin[top_idx].astype(jnp.float32),
+            cmax[top_idx].astype(jnp.float32),
+            rmax[top_idx].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    boxes = jnp.where((top_area > 0)[:, None], boxes, 0.0)
+    return boxes, top_area
+
+
+def box_mean_scores(prob: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Mean probability inside each (xmin, ymin, xmax, ymax) box via a 2-D
+    integral image. prob: [H, W]; boxes: [K, 4]. Inclusive pixel bounds."""
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(prob, axis=0), axis=1), ((1, 0), (1, 0)))
+    x0 = boxes[:, 0].astype(jnp.int32)
+    y0 = boxes[:, 1].astype(jnp.int32)
+    x1 = boxes[:, 2].astype(jnp.int32) + 1
+    y1 = boxes[:, 3].astype(jnp.int32) + 1
+    total = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+    npix = jnp.maximum((x1 - x0) * (y1 - y0), 1).astype(prob.dtype)
+    return total / npix
+
+
+def unclip_boxes(
+    boxes: jnp.ndarray, unclip_ratio: float, h: int, w: int
+) -> jnp.ndarray:
+    """DB unclip on axis-aligned boxes: offset each side outward by
+    delta = area * ratio / perimeter (the pyclipper offset the reference's
+    stack applies to min-area rects), clamped to the image."""
+    bw = boxes[:, 2] - boxes[:, 0] + 1.0
+    bh = boxes[:, 3] - boxes[:, 1] + 1.0
+    area = bw * bh
+    perim = 2.0 * (bw + bh)
+    delta = area * unclip_ratio / jnp.maximum(perim, 1e-6)
+    out = jnp.stack(
+        [
+            jnp.clip(boxes[:, 0] - delta, 0, w - 1),
+            jnp.clip(boxes[:, 1] - delta, 0, h - 1),
+            jnp.clip(boxes[:, 2] + delta, 0, w - 1),
+            jnp.clip(boxes[:, 3] + delta, 0, h - 1),
+        ],
+        axis=-1,
+    )
+    return out
+
+
+@partial(jax.jit, static_argnames=("max_boxes", "num_sweeps"))
+def db_postprocess(
+    prob: jnp.ndarray,
+    max_boxes: int = 8,
+    thresh: float = 0.3,
+    box_thresh: float = 0.6,
+    unclip_ratio: float = 1.6,
+    min_area: int = 16,
+    num_sweeps: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched DB postprocess on device.
+
+    prob: [B, H, W] float map in [0, 1].
+    Returns (boxes [B, K, 4] xyxy float32, scores [B, K], valid [B, K] bool).
+    Thresholds match the PaddleOCR defaults the reference runs with.
+    """
+    B, H, W = prob.shape
+
+    def one(p):
+        binary = p > thresh
+        boxes, areas = component_boxes(binary, max_boxes, num_sweeps)
+        scores = box_mean_scores(p, boxes)
+        valid = (areas >= min_area) & (scores > box_thresh)
+        boxes = unclip_boxes(boxes, unclip_ratio, H, W)
+        boxes = jnp.where(valid[:, None], boxes, 0.0)
+        return boxes, scores, valid
+
+    return jax.vmap(one)(prob)
+
+
+# ---------------------------------------------------------------------------
+# Host reference implementation (verification + fallback)
+# ---------------------------------------------------------------------------
+
+def db_postprocess_host(
+    prob: np.ndarray,
+    max_boxes: int = 8,
+    thresh: float = 0.3,
+    box_thresh: float = 0.6,
+    unclip_ratio: float = 1.6,
+    min_area: int = 16,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Numpy/scipy reference of `db_postprocess` for a single [H, W] map."""
+    from scipy import ndimage
+
+    H, W = prob.shape
+    binary = prob > thresh
+    labels, n = ndimage.label(binary)
+    boxes, scores, areas = [], [], []
+    for comp in range(1, n + 1):
+        ys, xs = np.nonzero(labels == comp)
+        area = len(ys)
+        box = [xs.min(), ys.min(), xs.max(), ys.max()]
+        score = float(prob[box[1] : box[3] + 1, box[0] : box[2] + 1].mean())
+        boxes.append(box)
+        scores.append(score)
+        areas.append(area)
+    order = np.argsort(areas)[::-1][:max_boxes]
+    out_boxes = np.zeros((max_boxes, 4), np.float32)
+    out_scores = np.zeros((max_boxes,), np.float32)
+    out_valid = np.zeros((max_boxes,), bool)
+    for k, i in enumerate(order):
+        b = boxes[i]
+        bw, bh = b[2] - b[0] + 1.0, b[3] - b[1] + 1.0
+        delta = bw * bh * unclip_ratio / max(2 * (bw + bh), 1e-6)
+        out_boxes[k] = [
+            max(0, b[0] - delta),
+            max(0, b[1] - delta),
+            min(W - 1, b[2] + delta),
+            min(H - 1, b[3] + delta),
+        ]
+        out_scores[k] = scores[i]
+        out_valid[k] = areas[i] >= min_area and scores[i] > box_thresh
+    out_boxes[~out_valid] = 0.0
+    return out_boxes, out_scores, out_valid

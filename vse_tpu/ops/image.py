@@ -1,0 +1,148 @@
+"""Device-side image ops: normalization, letterbox resize, batched box crops.
+
+Replaces the reference's host-side OpenCV preprocessing — per-frame crop
+(reference backend/tools/subtitle_ocr.py:270-289 `frame_preprocess`), det
+resize/normalize (inside PaddleOCR), and perspective text-crop rectification —
+with fused XLA ops so frames stay in HBM from decode hand-off to logits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# PP-OCR det normalization (ImageNet stats) and rec normalization (0.5/0.5).
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], dtype=jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], dtype=jnp.float32)
+
+
+def normalize_det(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [.., H, W, 3] RGB -> float det-normalized."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def normalize_rec(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [.., H, W, 3] RGB -> float rec-normalized ((x-0.5)/0.5)."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    return (x - 0.5) / 0.5
+
+
+def resize_bilinear(images: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Batched bilinear resize [B, H, W, C] -> [B, out_h, out_w, C]."""
+    b, _, _, c = images.shape
+    return jax.image.resize(images, (b, out_h, out_w, c), method="bilinear")
+
+
+def letterbox(
+    images: jnp.ndarray, out_h: int, out_w: int
+) -> Tuple[jnp.ndarray, float, float]:
+    """Aspect-preserving resize + zero pad to (out_h, out_w).
+
+    Returns (padded, scale_y, scale_x) where scale maps output coords back to
+    input coords (same scalar for both when aspect preserved). Shapes are
+    static, so the scale is a Python float computed from static dims.
+    """
+    b, h, w, c = images.shape
+    scale = min(out_h / h, out_w / w)
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    resized = jax.image.resize(images, (b, new_h, new_w, c), method="bilinear")
+    padded = jnp.zeros((b, out_h, out_w, c), dtype=resized.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, resized, (0, 0, 0, 0))
+    return padded, 1.0 / scale, 1.0 / scale
+
+
+def _bilinear_sample_one(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample image [H, W, C] at float coords ys/xs [h, w] -> [h, w, C]."""
+    H, W = image.shape[0], image.shape[1]
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    wy = jnp.clip(ys - y0.astype(ys.dtype), 0.0, 1.0)[..., None]
+    wx = jnp.clip(xs - x0.astype(xs.dtype), 0.0, 1.0)[..., None]
+    v00 = image[y0, x0]
+    v01 = image[y0, x1]
+    v10 = image[y1, x0]
+    v11 = image[y1, x1]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _perspective_matrix(quad: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Homography mapping output-rect coords -> quad coords.
+
+    quad: [4, 2] (x, y) points clockwise from top-left (the contract of
+    PaddleOCR's get_rotate_crop_image, which the reference consumes through
+    `OcrRecogniser.predict`, reference backend/tools/ocr.py:24-86).
+    Solves the standard 8x8 DLT system on device (batched via vmap).
+    """
+    dst = jnp.array(
+        [[0.0, 0.0], [out_w - 1.0, 0.0], [out_w - 1.0, out_h - 1.0], [0.0, out_h - 1.0]],
+        dtype=jnp.float32,
+    )
+    src = dst  # we map from output coords (src of transform) to quad (dst)
+    tgt = quad.astype(jnp.float32)
+    # Build A p = b for p = [a,b,c,d,e,f,g,h]
+    A = []
+    b = []
+    for i in range(4):
+        x, y = src[i, 0], src[i, 1]
+        X, Y = tgt[i, 0], tgt[i, 1]
+        A.append(jnp.stack([x, y, 1.0, 0.0, 0.0, 0.0, -x * X, -y * X]))
+        b.append(X)
+        A.append(jnp.stack([0.0, 0.0, 0.0, x, y, 1.0, -x * Y, -y * Y]))
+        b.append(Y)
+    A = jnp.stack(A)
+    b = jnp.stack(b)
+    p = jnp.linalg.solve(A, b)
+    return jnp.concatenate([p, jnp.ones((1,), jnp.float32)]).reshape(3, 3)
+
+
+def crop_and_rectify(
+    image: jnp.ndarray, quads: jnp.ndarray, out_h: int, out_w: int
+) -> jnp.ndarray:
+    """Perspective-rectify N text quads out of one frame on device.
+
+    image: [H, W, C] float; quads: [N, 4, 2] (x, y). Returns [N, out_h, out_w, C].
+    Degenerate quads (all zeros) yield black crops.
+    """
+    yy = jnp.arange(out_h, dtype=jnp.float32)
+    xx = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xx, yy)  # [out_h, out_w]
+    ones = jnp.ones_like(gx)
+    grid = jnp.stack([gx, gy, ones], axis=-1)  # [h, w, 3]
+
+    def crop_one(quad):
+        M = _perspective_matrix(quad, out_h, out_w)
+        mapped = grid @ M.T  # [h, w, 3]
+        xs = mapped[..., 0] / jnp.maximum(mapped[..., 2], 1e-6)
+        ys = mapped[..., 1] / jnp.maximum(mapped[..., 2], 1e-6)
+        return _bilinear_sample_one(image, ys, xs)
+
+    return jax.vmap(crop_one)(quads)
+
+
+def crop_axis_aligned_fixed(
+    image: jnp.ndarray, box_xyxy: jnp.ndarray, out_h: int, out_w: int
+) -> jnp.ndarray:
+    """Crop an axis-aligned (xmin, ymin, xmax, ymax) box and resize to a fixed
+    shape, preserving the PP-OCR rec aspect policy: scale to height out_h,
+    pad/truncate width to out_w."""
+    xmin, ymin, xmax, ymax = box_xyxy[0], box_xyxy[1], box_xyxy[2], box_xyxy[3]
+    bw = jnp.maximum(xmax - xmin, 1.0)
+    bh = jnp.maximum(ymax - ymin, 1.0)
+    scale = out_h / bh
+    target_w = bw * scale  # float; sample grid covers the box, pad beyond
+    yy = jnp.arange(out_h, dtype=jnp.float32)
+    xx = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xx, yy)
+    xs = xmin + gx / jnp.maximum(scale, 1e-6)
+    ys = ymin + gy / jnp.maximum(scale, 1e-6)
+    valid = (gx < target_w)[..., None]
+    sampled = _bilinear_sample_one(image, ys, xs)
+    return jnp.where(valid, sampled, 0.0)
