@@ -1,0 +1,184 @@
+import numpy as np
+import pytest
+
+from vse_tpu.ops.levenshtein import pure_ratio, ratio
+from vse_tpu.post.dedup import (
+    generate_srt,
+    generate_srt_from_timeline,
+    remove_duplicate_subtitles,
+)
+from vse_tpu.post.filters import (
+    detect_subtitle_band,
+    detect_watermark_areas,
+    filter_scene_text,
+    filter_watermark,
+    unite_coordinates,
+)
+from vse_tpu.post.records import RawRecord, concat_same_frame, read_raw, write_raw
+from vse_tpu.post.srt import SrtFile, SrtItem, ms_to_timestamp, srt_to_txt, timestamp_to_ms
+
+
+def R(no, text, coord=(100, 500, 900, 950)):
+    return RawRecord(no, coord, text)
+
+
+# --- levenshtein -----------------------------------------------------------
+
+def test_ratio_matches_python_levenshtein():
+    import Levenshtein
+
+    cases = [("hello", "hallo"), ("", ""), ("a", ""), ("abc", "abc"),
+             ("人民", "入民"), ("the quick", "teh quick"), ("x" * 50, "x" * 49 + "y")]
+    for a, b in cases:
+        assert ratio(a, b) == pytest.approx(Levenshtein.ratio(a, b), abs=1e-12)
+        assert pure_ratio(a, b) == pytest.approx(Levenshtein.ratio(a, b), abs=1e-12)
+
+
+def test_native_ratio_if_built():
+    from vse_tpu.ops import levenshtein as lev
+
+    if not lev._load_native():
+        pytest.skip("native lib not built")
+    import Levenshtein
+
+    for a, b in [("hello", "hallo"), ("威胁", "威筋"), ("abcdef", "abdcef")]:
+        assert lev._native_ratio(a, b) == pytest.approx(Levenshtein.ratio(a, b), abs=1e-12)
+
+
+# --- srt -------------------------------------------------------------------
+
+def test_srt_roundtrip(tmp_path):
+    srt = SrtFile([
+        SrtItem(1, 0, 1500, "hello"),
+        SrtItem(2, 2000, 4000, "two\nlines"),
+    ])
+    p = tmp_path / "a.srt"
+    srt.save(str(p))
+    back = SrtFile.open(str(p))
+    assert len(back) == 2
+    assert back[0].text == "hello"
+    assert back[1].text == "two\nlines"
+    assert back[1].start_ms == 2000
+
+
+def test_timestamp_format():
+    assert ms_to_timestamp(3661042) == "01:01:01,042"
+    assert timestamp_to_ms("01:01:01,042") == 3661042
+
+
+def test_srt_to_txt(tmp_path):
+    p = tmp_path / "a.srt"
+    SrtFile([SrtItem(1, 0, 1000, "hi"), SrtItem(2, 1000, 2000, "yo")]).save(str(p))
+    txt = srt_to_txt(str(p))
+    assert open(txt).read() == "hi\nyo\n"
+
+
+# --- records ---------------------------------------------------------------
+
+def test_raw_record_line_format_parity(tmp_path):
+    r = R(42, "hello world")
+    # reference format: zero-padded 8-digit frame, tuple str, text, newline
+    assert r.to_line() == "00000042\t(100, 500, 900, 950)\thello world\n"
+    p = tmp_path / "raw.txt"
+    write_raw([r], str(p))
+    assert read_raw(str(p))[0] == r
+
+
+def test_concat_same_frame_nfkc():
+    recs = [R(1, "Ｈello"), R(1, "ｗorld"), R(2, "single")]
+    out = concat_same_frame(recs)
+    assert len(out) == 2
+    assert out[0].text == "Hello world"  # NFKC normalizes fullwidth forms
+    assert out[1].text == "single"
+
+
+# --- dedup -----------------------------------------------------------------
+
+def test_remove_duplicates_longest_variant():
+    # three similar lines; middle one longest -> kept; then a different line
+    recs = [
+        R(10, "hello world"),
+        R(11, "hello worlds!"),
+        R(12, "hello world"),
+        R(20, "completely different text"),
+    ]
+    spans = remove_duplicate_subtitles(recs, threshold_percent=80)
+    assert len(spans) == 2
+    assert spans[0] == (10, 12, "hello worlds!")
+    assert spans[1][2] == "completely different text"
+
+
+def test_single_frame_span_extends_to_next():
+    recs = [R(10, "aaaa"), R(20, "bbbb"), R(30, "cccc")]
+    spans = remove_duplicate_subtitles(recs, threshold_percent=80)
+    # each span is single-frame; end borrows next start (except last)
+    assert spans[0] == (10, 20, "aaaa")
+    assert spans[1] == (20, 30, "bbbb")
+    assert spans[2] == (30, 30, "cccc")
+
+
+def test_generate_srt_pads_short_cues():
+    spans = [(0, 10, "short"), (100, 200, "long")]
+    fps = 25.0
+    srt, padded = generate_srt(spans, frame_to_ms=lambda f: f * 40.0, fps=fps)
+    assert padded == [1]
+    assert srt[0].start_ms == 0
+    assert srt[0].end_ms == 1000  # padded to exactly 1 s
+    assert srt[1].end_ms == 8000
+
+
+def test_generate_srt_from_timeline_keeps_empty_cues():
+    timeline = SrtFile([
+        SrtItem(1, 0, 1000, "x"),
+        SrtItem(2, 2000, 3000, "x"),
+        SrtItem(3, 4000, 5000, "x"),
+    ])
+    fps = 25.0
+    ms_to_frameno = lambda ms: int(ms / fps)  # the reference's quirk: ms/fps
+    spans = [(0, 80, "recognized")]  # start frame 0 matches cue 1; end 80 = cue 2
+    out = generate_srt_from_timeline(timeline, spans, ms_to_frameno,
+                                     delete_empty_timestamp=False)
+    assert len(out) == 3
+    assert out[0].text == "recognized"
+    assert out[0].end_ms == 3000  # re-linked to cue 2's end
+    assert out[1].text == "" and out[2].text == ""
+    out2 = generate_srt_from_timeline(timeline, spans, ms_to_frameno,
+                                      delete_empty_timestamp=True)
+    assert len(out2) == 1
+
+
+# --- filters ---------------------------------------------------------------
+
+def test_unite_coordinates_snaps_similar():
+    coords = [(100, 200, 50, 80), (105, 203, 52, 81), (500, 600, 50, 80)]
+    united = unite_coordinates(coords, 100, 50)
+    assert united[0] == united[1]
+    assert united[2] == (500, 600, 50, 80)
+
+
+def test_filter_watermark_drops_frequent_area():
+    wm = (10, 60, 10, 30)   # watermark: appears every frame
+    sub = (100, 500, 900, 950)
+    recs = []
+    for f in range(20):
+        recs.append(RawRecord(f, wm, "LOGO"))
+        recs.append(RawRecord(f, sub, f"line {f}"))
+    cands = detect_watermark_areas(recs, watermark_area_num=1)
+    assert cands[0][0] == wm
+
+    # confirm only the wm candidate
+    out = filter_watermark(
+        recs, watermark_area_num=1,
+        confirm=lambda p: str(wm) in p,
+    )
+    assert all(r.coord != wm for r in out)
+    assert len(out) == 20
+
+
+def test_filter_scene_text_band():
+    recs = [R(i, "sub", coord=(100, 500, 900, 950)) for i in range(10)]
+    recs.append(R(3, "scene text", coord=(100, 500, 100, 150)))
+    assert detect_subtitle_band(recs) == (900, 950)
+    out = filter_scene_text(recs, subtitle_area_deviation_pixel=50)
+    assert len(out) == 10
+    assert all(r.text == "sub" for r in out)
