@@ -1,0 +1,269 @@
+"""Host video decode -> device-ready frame batches.
+
+Replaces the reference's three decode paths — the driver's per-frame
+`cv2.VideoCapture.read()` loop (reference backend/main.py:228-253), the OCR
+child's re-decode-by-seek producer (reference backend/tools/subtitle_ocr.py:
+164-208), and the external scanner binary's own decoder (reference
+backend/main.py:378-505) — with ONE decode pass: a reader thread pushes
+frames into the native C++ ring buffer (vse_tpu/native/framebuffer.cpp) and
+the consumer pops contiguous, fixed-size batches ready for
+`jax.device_put`. Frames are decoded exactly once and never re-sought.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is baked into the image
+    cv2 = None
+
+
+@dataclass
+class VideoMeta:
+    path: str
+    fps: float
+    frame_count: int
+    height: int
+    width: int
+
+    @property
+    def duration_ms(self) -> float:
+        return self.frame_count / self.fps * 1000.0 if self.fps else 0.0
+
+
+def probe(path: str) -> VideoMeta:
+    """Read video metadata (reference backend/main.py:60-71 reads
+    fps/frame_count/size at extractor init)."""
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise FileNotFoundError(f"cannot open video: {path}")
+        return VideoMeta(
+            path=path,
+            fps=float(cap.get(cv2.CAP_PROP_FPS)) or 25.0,
+            frame_count=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        )
+    finally:
+        cap.release()
+
+
+@dataclass
+class FrameBatch:
+    """A contiguous stack of decoded frames plus their metadata."""
+
+    frames: np.ndarray  # [B, H, W, 3] uint8 RGB
+    frame_nos: np.ndarray  # [B] int64, 1-based like the reference's counter
+    ts_ms: np.ndarray  # [B] float64 capture timestamps
+    valid: np.ndarray  # [B] bool — False rows are padding
+
+
+class _NativeRing:
+    """ctypes wrapper over the C++ ring buffer."""
+
+    def __init__(self, slot_bytes: int, n_slots: int):
+        so = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "native", "libvse_native.so",
+        )
+        self.lib = ctypes.CDLL(so)
+        self.lib.vse_ring_create.restype = ctypes.c_void_p
+        self.lib.vse_ring_create.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+        self.lib.vse_ring_push.restype = ctypes.c_int
+        self.lib.vse_ring_push.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_int64, ctypes.c_double,
+        ]
+        self.lib.vse_ring_pop_batch.restype = ctypes.c_int
+        self.lib.vse_ring_pop_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ]
+        self.lib.vse_ring_close.argtypes = [ctypes.c_void_p]
+        self.lib.vse_ring_destroy.argtypes = [ctypes.c_void_p]
+        self.slot_bytes = slot_bytes
+        self.handle = ctypes.c_void_p(
+            self.lib.vse_ring_create(slot_bytes, n_slots)
+        )
+
+    def push(self, frame: np.ndarray, frame_no: int, ts_ms: float) -> bool:
+        buf = np.ascontiguousarray(frame)
+        rc = self.lib.vse_ring_push(
+            self.handle,
+            buf.ctypes.data_as(ctypes.c_char_p),
+            buf.nbytes,
+            frame_no,
+            ts_ms,
+        )
+        return rc == 0
+
+    def pop_batch(self, batch_n: int, frame_shape) -> Optional[FrameBatch]:
+        dst = np.empty((batch_n,) + tuple(frame_shape), np.uint8)
+        nos = (ctypes.c_int64 * batch_n)()
+        tss = (ctypes.c_double * batch_n)()
+        got = self.lib.vse_ring_pop_batch(
+            self.handle, dst.ctypes.data_as(ctypes.c_void_p), batch_n, nos, tss
+        )
+        if got == 0:
+            return None
+        valid = np.zeros((batch_n,), bool)
+        valid[:got] = True
+        return FrameBatch(
+            frames=dst,
+            frame_nos=np.array(nos[:batch_n], np.int64),
+            ts_ms=np.array(tss[:batch_n], np.float64),
+            valid=valid,
+        )
+
+    def close(self):
+        self.lib.vse_ring_close(self.handle)
+
+    def __del__(self):
+        try:
+            self.lib.vse_ring_destroy(self.handle)
+        except Exception:
+            pass
+
+
+def native_available() -> bool:
+    so = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native", "libvse_native.so",
+    )
+    return os.path.exists(so)
+
+
+class FrameStream:
+    """Single-pass decoded frame stream with batch assembly.
+
+    Iterates `FrameBatch`es of a fixed size (last batch padded). `stride`
+    implements fps-mode sampling: emit one frame, skip stride-1 (the
+    reference's `fps // extractFrequency` skip loop, backend/main.py:246-252).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        batch_size: int = 8,
+        stride: int = 1,
+        rgb: bool = True,
+        queue_depth: int = 64,
+        use_native_ring: bool = True,
+        start_frame: int = 0,
+        end_frame: Optional[int] = None,
+    ):
+        self.meta = probe(path)
+        self.path = path
+        self.batch_size = batch_size
+        self.stride = max(1, stride)
+        self.rgb = rgb
+        self.queue_depth = queue_depth
+        self.start_frame = start_frame
+        self.end_frame = end_frame
+        self._use_native = use_native_ring and native_available()
+        self.frame_to_ms: dict = {}
+
+    def _decode_loop(self, push, close):
+        cap = cv2.VideoCapture(self.path)
+        try:
+            frame_no = 0
+            if self.start_frame > 0:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, self.start_frame)
+                frame_no = self.start_frame
+            while True:
+                ret, frame = cap.read()
+                if not ret:
+                    break
+                frame_no += 1  # 1-based, like the reference's counter
+                if self.end_frame is not None and frame_no > self.end_frame:
+                    break
+                ts = float(cap.get(cv2.CAP_PROP_POS_MSEC))
+                self.frame_to_ms[frame_no] = ts
+                if (frame_no - self.start_frame - 1) % self.stride == 0:
+                    if self.rgb:
+                        frame = frame[:, :, ::-1]  # BGR -> RGB
+                    if not push(frame, frame_no, ts):
+                        break
+        finally:
+            cap.release()
+            close()
+
+    def __iter__(self) -> Iterator[FrameBatch]:
+        shape = (self.meta.height, self.meta.width, 3)
+        if self._use_native:
+            ring = _NativeRing(
+                slot_bytes=int(np.prod(shape)), n_slots=self.queue_depth
+            )
+            t = threading.Thread(
+                target=self._decode_loop, args=(ring.push, ring.close),
+                daemon=True,
+            )
+            t.start()
+            while True:
+                batch = ring.pop_batch(self.batch_size, shape)
+                if batch is None:
+                    break
+                yield batch
+            t.join()
+        else:
+            q: "queue.Queue" = queue.Queue(maxsize=self.queue_depth)
+
+            def push(frame, no, ts):
+                q.put((np.ascontiguousarray(frame), no, ts))
+                return True
+
+            def close():
+                q.put(None)
+
+            t = threading.Thread(
+                target=self._decode_loop, args=(push, close), daemon=True
+            )
+            t.start()
+            pending: List[Tuple[np.ndarray, int, float]] = []
+            done = False
+            while not done or pending:
+                while not done and len(pending) < self.batch_size:
+                    item = q.get()
+                    if item is None:
+                        done = True
+                        break
+                    pending.append(item)
+                if not pending:
+                    break
+                take = pending[: self.batch_size]
+                pending = pending[self.batch_size :]
+                frames = np.zeros((self.batch_size,) + shape, np.uint8)
+                nos = np.zeros((self.batch_size,), np.int64)
+                tss = np.zeros((self.batch_size,), np.float64)
+                valid = np.zeros((self.batch_size,), bool)
+                for i, (f, no, ts) in enumerate(take):
+                    frames[i] = f
+                    nos[i] = no
+                    tss[i] = ts
+                    valid[i] = True
+                yield FrameBatch(frames, nos, tss, valid)
+            t.join()
+
+
+def read_frame(path: str, frame_no: int = 0, rgb: bool = True) -> Optional[np.ndarray]:
+    """Random-access single frame (for previews/filters)."""
+    cap = cv2.VideoCapture(path)
+    try:
+        if frame_no > 0:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, frame_no)
+        ret, frame = cap.read()
+        if not ret:
+            return None
+        return frame[:, :, ::-1] if rgb else frame
+    finally:
+        cap.release()
