@@ -1,0 +1,154 @@
+"""End-to-end pipeline tests on a synthetic video with a scripted fake OCR
+engine: validates strategy plumbing, gating, dedup, SRT generation and the
+progress contract without trained model weights (SURVEY.md §4 test pyramid)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from vse_tpu.core.config import Mode, VseConfig
+from vse_tpu.core.subtitle_area import SubtitleArea
+from vse_tpu.pipeline.extractor import SubtitleExtractor
+from vse_tpu.post.srt import SrtFile
+
+W, H, FPS = 320, 240, 25.0
+
+
+def write_video(path, texts, seconds_each=2, fps=FPS):
+    """Synthesize a video: white 'subtitle' stripes burned into the bottom
+    band, one text id per segment (rendered as distinct stripe patterns)."""
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    vw = cv2.VideoWriter(path, fourcc, fps, (W, H))
+    n = int(seconds_each * fps)
+    for seg, text in enumerate(texts):
+        for _ in range(n):
+            frame = np.full((H, W, 3), 40, np.uint8)
+            if text is not None:
+                # distinct stripe phase per segment = distinct "subtitle"
+                frame[200:224, 20 + seg * 3 : 300 : 5] = 255
+            vw.write(frame)
+    vw.release()
+
+
+class FakeEngine:
+    """Scripted OCR: returns a fixed text per ~2s segment based on frame
+    stripe pattern; mimics the OcrEngine predict_batch contract."""
+
+    class _Spec:
+        rec_family = "en"
+
+    spec = _Spec()
+
+    def __init__(self, texts, seconds_each=2, fps=FPS):
+        self.texts = texts
+        self.n = int(seconds_each * fps)
+
+    def lookup(self, frame):
+        band = frame[200:224]
+        if band.max() < 128:
+            return None
+        # recover segment id from stripe phase
+        cols = np.nonzero(band[0, :, 0] > 128)[0]
+        seg = (cols[0] - 20) // 3
+        return self.texts[min(seg, len(self.texts) - 1)]
+
+    def predict_batch(self, frames):
+        out = []
+        for f in frames:
+            text = self.lookup(f)
+            if text is None:
+                out.append(([], []))
+            else:
+                quad = [(20, 200), (300, 200), (300, 224), (20, 224)]
+                out.append(([quad], [(text, 0.95)]))
+        return out
+
+    def predict(self, frame):
+        return self.predict_batch(frame[None])[0]
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("vid") / "synthetic.mp4")
+    write_video(p, ["hello world", None, "second line"])
+    return p
+
+
+def make_extractor(video, mode, sub_area=None, **cfg_kw):
+    cfg = VseConfig(language="en", mode=mode, word_segmentation=False, **cfg_kw)
+    texts = ["hello world", None, "second line"]
+    ex = SubtitleExtractor(
+        video, sub_area=sub_area, config=cfg, engine=FakeEngine(texts)
+    )
+    return ex
+
+
+def test_fps_mode_end_to_end(video, tmp_path):
+    ex = make_extractor(video, Mode.FAST)  # no sub_area -> fps strategy
+    ex.subtitle_output_path = str(tmp_path / "out.srt")
+    progress = []
+    ex.add_progress_listener(lambda fe, ocr: progress.append((fe, ocr)))
+    path = ex.run()
+    subs = SrtFile.open(path)
+    texts = [s.text for s in subs]
+    assert "hello world" in texts
+    assert "second line" in texts
+    assert len(subs) == 2
+    # subtitle timing sanity: first cue starts near 0, second near 4s
+    assert subs[0].start_ms < 500
+    assert 3500 <= subs[1].start_ms <= 4500
+    # progress ran to completion on both channels (total 200 contract)
+    assert progress[-1] == (100, 100)
+
+
+def test_accurate_mode_spans(video, tmp_path):
+    area = SubtitleArea(ymin=190, ymax=239, xmin=0, xmax=319)
+    ex = make_extractor(video, Mode.ACCURATE, sub_area=area)
+    ex.subtitle_output_path = str(tmp_path / "out.srt")
+    path = ex.run()
+    subs = SrtFile.open(path)
+    texts = [s.text for s in subs]
+    assert texts == ["hello world", "second line"]
+    # span edges: cue 1 covers ~0..2s
+    assert subs[0].start_ms < 500
+    assert 1500 <= subs[0].end_ms <= 2500
+
+
+def test_keyframe_mode_with_timeline(video, tmp_path):
+    area = SubtitleArea(ymin=190, ymax=239, xmin=0, xmax=319)
+    ex = make_extractor(video, Mode.FAST, sub_area=area)
+    ex.subtitle_output_path = str(tmp_path / "out.srt")
+    path = ex.run()
+    subs = SrtFile.open(path)
+    texts = [s.text for s in subs]
+    assert "hello world" in texts
+    assert "second line" in texts
+    assert ex.use_keyframe_timeline
+    assert ex.timeline is not None and len(ex.timeline) >= 2
+
+
+def test_generate_txt(video, tmp_path):
+    ex = make_extractor(video, Mode.FAST, generate_txt=True)
+    ex.subtitle_output_path = str(tmp_path / "out.srt")
+    ex.run()
+    assert os.path.exists(str(tmp_path / "out.txt"))
+
+
+def test_drop_score_gate(video, tmp_path):
+    area = SubtitleArea(ymin=190, ymax=239, xmin=0, xmax=319)
+    ex = make_extractor(video, Mode.ACCURATE, sub_area=area, drop_score=99)
+    ex.subtitle_output_path = str(tmp_path / "out.srt")
+    path = ex.run()  # fake engine confidence 0.95 < 0.99 -> all dropped
+    assert len(SrtFile.open(path)) == 0
+
+
+def test_area_gate_drops_disjoint_boxes(video, tmp_path):
+    # area far from the stripes: boxes are disjoint -> dropped
+    area = SubtitleArea(ymin=0, ymax=50, xmin=0, xmax=319)
+    ex = make_extractor(video, Mode.ACCURATE, sub_area=area)
+    ex.subtitle_output_path = str(tmp_path / "out.srt")
+    path = ex.run()
+    assert len(SrtFile.open(path)) == 0

@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+from vse_tpu.core.config import Mode, VseConfig
+from vse_tpu.core.registry import resolve
+from vse_tpu.pipeline.ocr_engine import OcrEngine, sort_into_lines, y_round
+
+
+def test_y_round():
+    # reference backend/tools/ocr.py:16-22
+    assert y_round(12) == 10
+    assert y_round(17) == 20
+    assert y_round(15) == 10  # tie goes down (strict < in the reference)
+
+
+def test_y_round_matches_reference_formula():
+    for y in range(0, 100):
+        up = y + 10 - y % 10
+        down = y - y % 10
+        want = up if abs(y - up) < abs(y - down) else down
+        assert y_round(y) == want
+
+
+def test_sort_into_lines_orders_y_then_x():
+    # two lines: y~100 and y~200; boxes out of order
+    coords = [
+        (500, 600, 201, 230),  # line 2, right
+        (100, 200, 99, 130),   # line 1, left
+        (300, 400, 102, 130),  # line 1, right (y snaps to same line)
+        (100, 200, 199, 230),  # line 2, left
+    ]
+    items = ["d", "a", "b", "c"]
+    sc, si = sort_into_lines(coords, items)
+    assert si == ["a", "b", "c", "d"]
+    # snapped ymins equal within a line
+    assert sc[0][2] == sc[1][2]
+    assert sc[2][2] == sc[3][2]
+
+
+def test_resolve_mode_matrix():
+    # reference README_en.md:87-93 semantics
+    assert resolve("en", Mode.FAST).det_variant == "mobile"
+    assert resolve("en", Mode.AUTO, accelerated=True).det_variant == "server"
+    assert resolve("en", Mode.AUTO, accelerated=False).det_variant == "mobile"
+    assert resolve("en", Mode.ACCURATE).rec_variant == "server"
+    assert resolve("german", Mode.FAST).rec_family == "latin"
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = VseConfig(
+        language="en",
+        det_image_height=64,
+        det_image_width=96,
+        rec_image_height=48,
+        rec_image_width=64,
+        max_boxes_per_frame=4,
+    )
+    return OcrEngine(language="en", mode=Mode.FAST, config=cfg)
+
+
+def test_engine_predict_shapes(engine):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(64, 96, 3), dtype=np.uint8)
+    dt_box, rec_res = engine.predict(img)
+    assert isinstance(dt_box, list)
+    assert len(dt_box) == len(rec_res)
+    for quad, (text, prob) in zip(dt_box, rec_res):
+        assert len(quad) == 4
+        assert isinstance(text, str)
+        assert 0.0 <= prob <= 1.0
+
+
+def test_engine_batch_matches_single(engine):
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, size=(2, 64, 96, 3), dtype=np.uint8)
+    batch = engine.predict_batch(frames)
+    single0 = engine.predict(frames[0])
+    assert len(batch) == 2
+    assert batch[0][1] == single0[1]
+
+
+def test_detect_batch_boxes_in_bounds(engine):
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, size=(1, 64, 96, 3), dtype=np.uint8)
+    boxes, scores, valid = engine.detect_batch(frames)
+    assert boxes.shape == (1, 4, 4)
+    assert (boxes[..., 0] <= 95).all() and (boxes[..., 2] <= 95).all()
+    assert (boxes[..., 1] <= 63).all() and (boxes[..., 3] <= 63).all()

@@ -1,0 +1,104 @@
+"""Model checkpoint registry: (language, mode) -> parameter pytrees.
+
+Replaces the reference's PaddleModelConfig (reference
+backend/tools/paddle_model_config.py:7-151), which resolves det/rec model
+directories per language/mode/accelerator with a V4->V3->V2 fallback chain,
+merges filesplit shards, and converts Paddle->ONNX at runtime. Here models
+are flax param pytrees checkpointed with orbax; resolution is a pure lookup
+(no runtime conversion), and the offline converter
+(tools/convert_paddle.py) produces checkpoints from upstream `.pdiparams`
+once, out of band.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vse_tpu.core.charset import get_charset, script_family
+from vse_tpu.core.config import Mode
+
+
+def models_root() -> str:
+    """Checkpoint root: $VSE_MODELS or <repo>/checkpoints."""
+    env = os.environ.get("VSE_MODELS")
+    if env:
+        return env
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "checkpoints",
+    )
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Resolved model choice for a (language, mode, accelerated) triple.
+
+    Mirrors the reference's mode matrix (reference README_en.md:87-93,
+    paddle_model_config.py:50-82): fast -> mobile det+rec; auto -> server
+    models when accelerated, mobile otherwise; accurate -> server det+rec.
+    Rec heads resolve per script family; det is shared (the reference ships
+    only ch det models and uses them for all languages).
+    """
+
+    det_variant: str  # "mobile" | "server"
+    rec_variant: str  # "mobile" | "server"
+    rec_family: str  # charset/rec-head family
+    det_ckpt: str
+    rec_ckpt: str
+
+
+def resolve(language: str, mode: Mode, accelerated: bool = True) -> ModelSpec:
+    family = script_family(language)
+    if mode == Mode.FAST:
+        det_v, rec_v = "mobile", "mobile"
+    elif mode == Mode.AUTO:
+        det_v, rec_v = ("server", "server") if accelerated else ("mobile", "mobile")
+    else:  # ACCURATE
+        det_v, rec_v = "server", "server"
+    root = models_root()
+    return ModelSpec(
+        det_variant=det_v,
+        rec_variant=rec_v,
+        rec_family=family,
+        det_ckpt=os.path.join(root, f"det_{det_v}"),
+        rec_ckpt=os.path.join(root, f"rec_{family}_{rec_v}"),
+    )
+
+
+def save_params(params: Any, path: str) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, like: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(path, target=like)
+    return ckptr.restore(path)
+
+
+def init_or_load(model, example_input, ckpt_path: str, seed: int = 0) -> Tuple[Any, bool]:
+    """Restore params from a checkpoint if present, else random-init.
+
+    Returns (variables, loaded). Random init is the documented cold-start:
+    the upstream weights are converted offline (most reference `.pdiparams`
+    are LFS-stripped in this snapshot — SURVEY.md §2.5)."""
+    variables = model.init(jax.random.PRNGKey(seed), example_input)
+    if os.path.isdir(ckpt_path):
+        try:
+            return load_params(ckpt_path, like=variables), True
+        except Exception:
+            pass
+    return variables, False

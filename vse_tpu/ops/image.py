@@ -131,18 +131,20 @@ def crop_axis_aligned_fixed(
     image: jnp.ndarray, box_xyxy: jnp.ndarray, out_h: int, out_w: int
 ) -> jnp.ndarray:
     """Crop an axis-aligned (xmin, ymin, xmax, ymax) box and resize to a fixed
-    shape, preserving the PP-OCR rec aspect policy: scale to height out_h,
-    pad/truncate width to out_w."""
+    shape with the PP-OCR rec aspect policy: scale to height out_h; if the
+    scaled width exceeds out_w, compress horizontally to exactly out_w,
+    otherwise keep aspect and zero-pad the right."""
     xmin, ymin, xmax, ymax = box_xyxy[0], box_xyxy[1], box_xyxy[2], box_xyxy[3]
     bw = jnp.maximum(xmax - xmin, 1.0)
     bh = jnp.maximum(ymax - ymin, 1.0)
-    scale = out_h / bh
-    target_w = bw * scale  # float; sample grid covers the box, pad beyond
+    scale_y = out_h / bh
+    target_w = jnp.minimum(jnp.float32(out_w), bw * scale_y)
+    scale_x = target_w / bw
     yy = jnp.arange(out_h, dtype=jnp.float32)
     xx = jnp.arange(out_w, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xx, yy)
-    xs = xmin + gx / jnp.maximum(scale, 1e-6)
-    ys = ymin + gy / jnp.maximum(scale, 1e-6)
+    xs = xmin + gx / jnp.maximum(scale_x, 1e-6)
+    ys = ymin + gy / jnp.maximum(scale_y, 1e-6)
     valid = (gx < target_w)[..., None]
     sampled = _bilinear_sample_one(image, ys, xs)
     return jnp.where(valid, sampled, 0.0)

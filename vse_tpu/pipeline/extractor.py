@@ -1,0 +1,370 @@
+"""SubtitleExtractor — the pipeline driver (public API).
+
+Re-designs the reference's L4 driver (reference backend/main.py:42-191) for
+TPU: instead of 3 processes + queues + file IPC (driver / OCR child / scanner
+binary), one Python driver streams decoded frame batches to a single
+device-resident compiled program per stage. The public surface is the
+reference's: ``SubtitleExtractor(video_path, sub_area).run()``, fast/auto/
+accurate modes, two-channel progress totaling 200 (reference
+backend/main.py:87-99), `.srt` (+ optional `.txt`) outputs.
+
+Strategy selection (reference backend/main.py:137-147):
+  - accurate + sub_area  -> per-frame DB detection with span segmentation
+  - fast/auto + sub_area -> keyframe scanner (Pallas VSF equivalent)
+  - no sub_area          -> fps-strided sampling + watermark/scene filters
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from vse_tpu.core.config import Mode, VseConfig
+from vse_tpu.core.subtitle_area import SubtitleArea
+from vse_tpu.kernels.keyframe import ScanParams, find_spans, frame_stats, rgb_to_gray
+from vse_tpu.ops.levenshtein import ratio
+from vse_tpu.pipeline.ocr_engine import OcrEngine
+from vse_tpu.post.dedup import (
+    generate_srt,
+    generate_srt_from_timeline,
+    remove_duplicate_subtitles,
+)
+from vse_tpu.post.filters import always_yes, filter_scene_text, filter_watermark
+from vse_tpu.post.records import RawRecord
+from vse_tpu.post.reformat import execute as reformat_execute
+from vse_tpu.post.srt import SrtFile, SrtItem, srt_to_txt
+from vse_tpu.video.decode import FrameStream, probe
+
+CJK_RE = re.compile(r"[一-龥]")
+
+ProgressListener = Callable[[float, float], None]  # (frame_extract, ocr) 0-100
+
+
+class SubtitleExtractor:
+    """Extract hard subtitles from one video into an SRT file."""
+
+    def __init__(
+        self,
+        video_path: str,
+        sub_area: Optional[SubtitleArea] = None,
+        config: Optional[VseConfig] = None,
+        engine: Optional[OcrEngine] = None,
+        confirm=None,
+    ):
+        self.video_path = video_path
+        self.config = config or VseConfig()
+        self.meta = probe(video_path)
+        self.fps = self.meta.fps
+        self.frame_count = self.meta.frame_count
+        self.frame_height = self.meta.height
+        self.frame_width = self.meta.width
+        self.sub_area = sub_area
+        self.confirm = confirm
+        self._engine = engine
+        self.raw_records: List[RawRecord] = []
+        self.timeline: Optional[SrtFile] = None  # keyframe-mode timeline
+        self._frame_to_ms: Dict[int, float] = {}
+        # progress: two channels summing to 200 (reference main.py:87-99)
+        self.progress_frame_extract = 0.0
+        self.progress_ocr = 0.0
+        self._listeners: List[ProgressListener] = []
+        self._lock = threading.RLock()
+        # output path (reference main.py:78-86: next to the video)
+        self.subtitle_output_path = os.path.join(
+            os.path.dirname(video_path), f"{Path(video_path).stem}.srt"
+        )
+        self.use_keyframe_timeline = False
+
+    # --- reference-parity helpers -------------------------------------------
+
+    @property
+    def engine(self) -> OcrEngine:
+        if self._engine is None:
+            self._engine = OcrEngine(
+                language=self.config.language,
+                mode=self.config.mode,
+                config=self.config,
+            )
+        return self._engine
+
+    def add_progress_listener(self, fn: ProgressListener) -> None:
+        """Reference contract: backend/main.py:1052-1080."""
+        self._listeners.append(fn)
+
+    def update_progress(self, frame_extract: Optional[float] = None, ocr: Optional[float] = None):
+        if frame_extract is not None:
+            self.progress_frame_extract = frame_extract
+        if ocr is not None:
+            self.progress_ocr = ocr
+        for fn in self._listeners:
+            fn(self.progress_frame_extract, self.progress_ocr)
+
+    def append_output(self, *args):
+        """Log hook; GUIs replace this attribute (reference main.py:1045-1050)."""
+        print(*args)
+
+    def frame_to_ms(self, frame_no: int) -> float:
+        """Frame -> capture timestamp; falls back to frame/fps math like the
+        reference's `_frame_to_timecode` fallback (backend/main.py:731-766)."""
+        if frame_no in self._frame_to_ms:
+            return self._frame_to_ms[frame_no]
+        return float(int(frame_no / self.fps * 1000.0))
+
+    def ms_to_frameno(self, ms: float) -> int:
+        """The reference's quirky keyframe-timeline key: ms / fps (NOT
+        ms/1000*fps) — self-consistent on both sides (backend/main.py:768,
+        :413; SURVEY.md §3.3 note)."""
+        return int(ms / self.fps)
+
+    # --- OCR gating ---------------------------------------------------------
+
+    def _gate_and_record(
+        self, frame_no: int, dt_box: list, rec_res: list
+    ) -> None:
+        """Apply the reference's area/score gate and append raw records
+        (reference backend/tools/subtitle_ocr.py:20-85)."""
+        drop_score = self.config.drop_score / 100.0
+        dev_rate = self.config.subtitle_area_deviation_rate
+        for quad, (text, prob) in zip(dt_box, rec_res):
+            xmin = max(quad[0][0], quad[3][0])
+            xmax = min(quad[1][0], quad[2][0])
+            ymin = max(quad[0][1], quad[1][1])
+            ymax = min(quad[2][1], quad[3][1])
+            if self.engine.spec.rec_family == "en":
+                text = CJK_RE.sub("", text)
+            if self.sub_area is not None:
+                overflow = self.sub_area.overflow_area_rate(xmin, xmax, ymin, ymax)
+                if overflow > dev_rate or prob <= drop_score:
+                    continue
+            self.raw_records.append(
+                RawRecord(frame_no, (int(xmin), int(xmax), int(ymin), int(ymax)), text)
+            )
+
+    def _area_text(self, dt_box: list, rec_res: list) -> str:
+        """Concatenated text of boxes fully inside the sub area (reference
+        backend/main.py:895-921 `__get_area_text`)."""
+        parts = []
+        for quad, (text, _prob) in zip(dt_box, rec_res):
+            xmin = max(quad[0][0], quad[3][0])
+            xmax = min(quad[1][0], quad[2][0])
+            ymin = max(quad[0][1], quad[1][1])
+            ymax = min(quad[2][1], quad[3][1])
+            if self.sub_area is None or self.sub_area.contains_box(
+                xmin, xmax, ymin, ymax
+            ):
+                parts.append(text)
+        return "".join(parts)
+
+    # --- strategies -----------------------------------------------------------
+
+    def extract_frame_by_fps(self) -> None:
+        """Stride sampling: OCR `extract_frequency` frames per second
+        (reference backend/main.py:228-253)."""
+        stride = max(1, int(self.fps // self.config.extract_frequency))
+        stream = FrameStream(
+            self.video_path,
+            batch_size=self.config.frame_batch,
+            stride=stride,
+        )
+        for batch in stream:
+            n_valid = int(batch.valid.sum())
+            results = self.engine.predict_batch(batch.frames[:n_valid])
+            for i in range(n_valid):
+                dt_box, rec_res = results[i]
+                self._gate_and_record(int(batch.frame_nos[i]), dt_box, rec_res)
+            done = float(batch.frame_nos[n_valid - 1]) / max(1, self.frame_count)
+            self.update_progress(frame_extract=done * 100, ocr=done * 100)
+        self._frame_to_ms.update(stream.frame_to_ms)
+
+    def extract_frame_by_keyframe(self) -> None:
+        """Keyframe scanner path (the reference's VideoSubFinder stage,
+        backend/main.py:378-505, rebuilt as the Pallas kernel): pass 1 scans
+        every frame's subtitle band for text presence/changes; pass 2 OCRs one
+        representative frame per span."""
+        area = self.sub_area
+        stream = FrameStream(self.video_path, batch_size=32, stride=1)
+        all_stats: List[np.ndarray] = []
+        all_nos: List[np.ndarray] = []
+        params = ScanParams()
+        for batch in stream:
+            n_valid = int(batch.valid.sum())
+            frames = batch.frames[:n_valid]
+            if area is not None:
+                frames = frames[:, area.ymin : area.ymax, area.xmin : area.xmax]
+            gray = np.asarray(rgb_to_gray(frames))
+            all_stats.append(frame_stats(gray, params))
+            all_nos.append(batch.frame_nos[:n_valid])
+            done = float(batch.frame_nos[n_valid - 1]) / max(1, self.frame_count)
+            self.update_progress(frame_extract=done * 100)
+        self._frame_to_ms.update(stream.frame_to_ms)
+        if not all_stats:
+            return
+        stats = np.concatenate(all_stats, axis=0)
+        nos = np.concatenate(all_nos, axis=0)
+        spans = find_spans(stats, nos, params)
+        # timeline SRT (the scanner's raw .srt role, reference main.py:639-669)
+        self.timeline = SrtFile()
+        for i, sp in enumerate(spans):
+            self.timeline.append(
+                SrtItem(
+                    i + 1,
+                    int(self.frame_to_ms(sp.start_frame)),
+                    int(self.frame_to_ms(sp.end_frame)),
+                    "",
+                )
+            )
+        self.use_keyframe_timeline = True
+        # pass 2: OCR one frame per span (batched)
+        from vse_tpu.video.decode import read_frame
+
+        rep_frames = []
+        keys = []
+        for sp in spans:
+            f = read_frame(self.video_path, sp.start_frame - 1)
+            if f is None:
+                continue
+            rep_frames.append(f)
+            # keyframe-timeline key convention: int(start_ms / fps); use the
+            # same int(ms) the timeline cue stores so both sides agree
+            keys.append(self.ms_to_frameno(int(self.frame_to_ms(sp.start_frame))))
+        B = self.config.frame_batch
+        for i in range(0, len(rep_frames), B):
+            chunk = np.stack(rep_frames[i : i + B])
+            results = self.engine.predict_batch(chunk)
+            for j, (dt_box, rec_res) in enumerate(results):
+                self._gate_and_record(keys[i + j], dt_box, rec_res)
+            self.update_progress(ocr=min(100.0, (i + B) / max(1, len(rep_frames)) * 100))
+
+    def extract_frame_by_det(self) -> None:
+        """Accurate mode: DB detection on every frame; subtitle spans found by
+        comparing per-frame sub-area text against the span head (reference
+        backend/main.py:255-376, :924-952). TPU redesign (SURVEY.md hard part
+        #6): det runs batched over all frames; rec runs batched over only the
+        text-bearing frames; the serial compare loop becomes host logic over
+        cached strings."""
+        thr = self.config.threshold_text_similarity / 100.0
+        stream = FrameStream(
+            self.video_path, batch_size=self.config.frame_batch, stride=1
+        )
+        span_head_text: Optional[str] = None
+        span_head_no = 0
+        span_head_result = None
+        prev_result = None  # (frame_no, dt_box, rec_res, area_text)
+        finding_end = False
+
+        def close_span(end_no, end_result):
+            # record both edges (the reference enqueues start & end tasks)
+            if span_head_result is not None:
+                self._gate_and_record(span_head_no, *span_head_result)
+            if end_result is not None and end_no != span_head_no:
+                self._gate_and_record(end_no, *end_result)
+
+        for batch in stream:
+            n_valid = int(batch.valid.sum())
+            frames = batch.frames[:n_valid]
+            results = self.engine.predict_batch(frames)
+            for i in range(n_valid):
+                frame_no = int(batch.frame_nos[i])
+                dt_box, rec_res = results[i]
+                has_subtitle = False
+                for quad in dt_box:
+                    xmin = max(quad[0][0], quad[3][0])
+                    xmax = min(quad[1][0], quad[2][0])
+                    ymin = max(quad[0][1], quad[1][1])
+                    ymax = min(quad[2][1], quad[3][1])
+                    if self.sub_area is None or self.sub_area.contains_box(
+                        xmin, xmax, ymin, ymax
+                    ):
+                        has_subtitle = True
+                        break
+                if has_subtitle:
+                    area_text = self._area_text(dt_box, rec_res)
+                    if not finding_end:
+                        span_head_text = area_text
+                        span_head_no = frame_no
+                        span_head_result = (dt_box, rec_res)
+                        finding_end = True
+                    else:
+                        if ratio(span_head_text, area_text) <= thr:
+                            # subtitle changed: close at previous frame
+                            close_span(prev_result[0], prev_result[1:3])
+                            span_head_text = area_text
+                            span_head_no = frame_no
+                            span_head_result = (dt_box, rec_res)
+                    prev_result = (frame_no, dt_box, rec_res)
+                else:
+                    if finding_end and prev_result is not None:
+                        close_span(prev_result[0], prev_result[1:3])
+                        finding_end = False
+                done = frame_no / max(1, self.frame_count)
+                self.update_progress(frame_extract=done * 100, ocr=done * 100)
+        if finding_end and prev_result is not None:
+            close_span(prev_result[0], prev_result[1:3])
+        self._frame_to_ms.update(stream.frame_to_ms)
+
+    # --- orchestration ---------------------------------------------------------
+
+    def run(self) -> str:
+        """Full pipeline (reference backend/main.py:103-191). Returns the SRT
+        path."""
+        with self._lock:
+            t0 = time.time()
+            self.update_progress(0, 0)
+            self.raw_records = []
+            if self.sub_area is not None and self.config.mode == Mode.ACCURATE:
+                self.extract_frame_by_det()
+            elif self.sub_area is not None:
+                self.extract_frame_by_keyframe()
+            else:
+                self.extract_frame_by_fps()
+
+            if self.sub_area is None:
+                # interactive filters only apply without a user area
+                # (reference main.py:158-171)
+                self.raw_records = filter_watermark(
+                    self.raw_records,
+                    watermark_area_num=self.config.watermark_area_num,
+                    tolerant_pixel_x=self.config.tolerant_pixel_x,
+                    tolerant_pixel_y=self.config.tolerant_pixel_y,
+                    confirm=self.confirm,
+                )
+                self.raw_records = filter_scene_text(
+                    self.raw_records,
+                    subtitle_area_deviation_pixel=self.config.subtitle_area_deviation_pixel,
+                    confirm=self.confirm or always_yes,
+                )
+
+            self.generate_subtitle_file()
+            if self.config.word_segmentation:
+                reformat_execute(self.subtitle_output_path, self.config.language)
+            self.update_progress(100, 100)
+            if self.config.generate_txt:
+                srt_to_txt(self.subtitle_output_path)
+            self.append_output(
+                f"extraction finished in {time.time() - t0:.1f}s -> "
+                f"{self.subtitle_output_path}"
+            )
+            return self.subtitle_output_path
+
+    def generate_subtitle_file(self) -> None:
+        spans = remove_duplicate_subtitles(
+            self.raw_records,
+            threshold_percent=self.config.threshold_text_similarity,
+            single_frame_extends=not self.use_keyframe_timeline,
+        )
+        if self.use_keyframe_timeline and self.timeline is not None:
+            srt = generate_srt_from_timeline(
+                self.timeline,
+                spans,
+                self.ms_to_frameno,
+                delete_empty_timestamp=self.config.delete_empty_timestamp,
+            )
+        else:
+            srt, _ = generate_srt(spans, self.frame_to_ms, self.fps)
+        srt.save(self.subtitle_output_path)

@@ -1,0 +1,260 @@
+"""The OCR engine: one compiled det+rec device program.
+
+Replaces the reference's OcrRecogniser/PaddleOCR wrapper (reference
+backend/tools/ocr.py:9-113) and the det-only SubtitleDetect (reference
+backend/tools/subtitle_detect.py:5-26). The reference crosses Python<->C++
+per call and re-preprocesses on host; here the whole hot path —
+letterbox/normalize -> DB forward -> box extraction -> crop/rectify ->
+CRNN forward -> CTC decode — is XLA-compiled with static shape buckets, so
+per-batch host work is only the final ids->string conversion.
+
+Output contract parity: `predict(img)` returns (dt_box, rec_res) shaped like
+the reference (quads as 4 (x, y) points; rec_res as [(text, prob)]), with the
+same line ordering — boxes grouped into text lines by ymin rounded to the
+nearest 10, lines sorted top-to-bottom, boxes left-to-right within a line
+(reference backend/tools/ocr.py:16-22,44-79).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vse_tpu.core.charset import Charset, get_charset
+from vse_tpu.core.config import Mode, VseConfig
+from vse_tpu.core.registry import ModelSpec, init_or_load, resolve
+from vse_tpu.models.crnn import CRNNRecognizer
+from vse_tpu.models.db_detector import DBDetector
+from vse_tpu.ops.ctc import ctc_greedy_decode, decode_batch_to_texts
+from vse_tpu.ops.db_postprocess import db_postprocess
+from vse_tpu.ops.image import (
+    crop_axis_aligned_fixed,
+    normalize_det,
+    normalize_rec,
+)
+
+
+def y_round(y: int) -> int:
+    """Round a ymin to the nearest multiple of 10 (reference
+    backend/tools/ocr.py:16-22)."""
+    up = y + 10 - y % 10
+    down = y - y % 10
+    return up if abs(y - up) < abs(y - down) else down
+
+
+def sort_into_lines(
+    coords: List[Tuple[int, int, int, int]], items: List[Any]
+) -> Tuple[List[Tuple[int, int, int, int]], List[Any]]:
+    """Group boxes into text lines by rounded ymin and order them
+    (line-y asc, then x asc) — the reference's ranking (ocr.py:44-79)."""
+    lines: List[int] = []
+    for c in coords:
+        ry = y_round(c[2])
+        if not lines:
+            lines.append(ry)
+        elif ry not in lines and ry + 10 not in lines and ry - 10 not in lines:
+            lines.append(ry)
+    lines = sorted(lines)
+    snapped = []
+    for c in coords:
+        ry = y_round(c[2])
+        best = c[2]
+        for ln in lines:
+            if abs(ln - ry) <= 10:
+                best = ln
+                break
+        snapped.append((c[0], c[1], best, c[3]))
+    order = sorted(range(len(coords)), key=lambda i: (snapped[i][2], snapped[i][0]))
+    return [snapped[i] for i in order], [items[i] for i in order]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class OcrEngine:
+    """Device-resident detector + recognizer with shape-bucketed jit cache."""
+
+    def __init__(
+        self,
+        language: str = "en",
+        mode: Mode = Mode.FAST,
+        config: Optional[VseConfig] = None,
+        charset: Optional[Charset] = None,
+        det_params: Any = None,
+        rec_params: Any = None,
+        accelerated: bool = True,
+        seed: int = 0,
+    ):
+        self.config = config or VseConfig(language=language, mode=mode)
+        self.language = language
+        self.mode = mode
+        self.spec: ModelSpec = resolve(language, mode, accelerated)
+        self.charset = charset or get_charset(language)
+        self.det_model = DBDetector(variant=self.spec.det_variant)
+        self.rec_model = CRNNRecognizer(
+            vocab_size=self.charset.vocab_size, variant=self.spec.rec_variant
+        )
+        self.rec_h = self.config.rec_image_height
+        self.rec_w = self.config.rec_image_width
+        self.max_boxes = self.config.max_boxes_per_frame
+        self.det_loaded = False
+        self.rec_loaded = False
+        dummy_det = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        dummy_rec = jnp.zeros((1, self.rec_h, self.rec_w, 3), jnp.float32)
+        if det_params is not None:
+            self.det_params = det_params
+            self.det_loaded = True
+        else:
+            self.det_params, self.det_loaded = init_or_load(
+                self.det_model, dummy_det, self.spec.det_ckpt, seed
+            )
+        if rec_params is not None:
+            self.rec_params = rec_params
+            self.rec_loaded = True
+        else:
+            self.rec_params, self.rec_loaded = init_or_load(
+                self.rec_model, dummy_rec, self.spec.rec_ckpt, seed + 1
+            )
+        self._fn_cache: dict = {}
+
+    # --- compiled stages ---------------------------------------------------
+
+    def det_bucket(self, h: int, w: int) -> Tuple[int, int]:
+        """Det input bucket: multiples of 32 (backbone stride), capped by the
+        configured det canvas."""
+        return (
+            min(_round_up(h, 32), _round_up(self.config.det_image_height, 32)),
+            min(_round_up(w, 32), _round_up(self.config.det_image_width, 32)),
+        )
+
+    def _detect_fn(self, hd: int, wd: int):
+        key = ("det", hd, wd)
+        if key not in self._fn_cache:
+
+            @jax.jit
+            def run(det_params, frames_u8):
+                # frames_u8: [B, hd, wd, 3] already letterboxed on device side
+                x = normalize_det(frames_u8)
+                prob = self.det_model.apply(det_params, x)
+                boxes, scores, valid = db_postprocess(
+                    prob, max_boxes=self.max_boxes
+                )
+                return prob, boxes, scores, valid
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key]
+
+    def _resize_fn(self, h: int, w: int, hd: int, wd: int):
+        """Device letterbox uint8 [B, h, w, 3] -> [B, hd, wd, 3]."""
+        key = ("resize", h, w, hd, wd)
+        if key not in self._fn_cache:
+            scale = min(hd / h, wd / w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+
+            @jax.jit
+            def run(frames_u8):
+                f = frames_u8.astype(jnp.float32)
+                r = jax.image.resize(
+                    f, (f.shape[0], nh, nw, 3), method="bilinear"
+                )
+                out = jnp.zeros((f.shape[0], hd, wd, 3), jnp.float32)
+                out = jax.lax.dynamic_update_slice(out, r, (0, 0, 0, 0))
+                return out
+
+            self._fn_cache[key] = (run, 1.0 / scale)
+        return self._fn_cache[key]
+
+    def _crop_rec_fn(self, h: int, w: int):
+        """Crop K boxes from each full-res frame and run rec + CTC decode."""
+        key = ("crop_rec", h, w)
+        if key not in self._fn_cache:
+
+            @jax.jit
+            def run(rec_params, frames_u8, boxes):
+                # frames_u8: [B, h, w, 3]; boxes: [B, K, 4] xyxy in frame coords
+                def per_frame(frame, fboxes):
+                    f = frame.astype(jnp.float32)
+                    crops = jax.vmap(
+                        lambda b: crop_axis_aligned_fixed(
+                            f, b, self.rec_h, self.rec_w
+                        )
+                    )(fboxes)
+                    return crops
+
+                crops = jax.vmap(per_frame)(frames_u8, boxes)  # [B,K,h,w,3]
+                B, K = crops.shape[0], crops.shape[1]
+                crops = crops.reshape((B * K,) + crops.shape[2:])
+                crops = (crops / 255.0 - 0.5) / 0.5
+                logits = self.rec_model.apply(rec_params, crops)
+                ids, mask, scores = ctc_greedy_decode(logits)
+                T = ids.shape[1]
+                return (
+                    ids.reshape(B, K, T),
+                    mask.reshape(B, K, T),
+                    scores.reshape(B, K),
+                )
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key]
+
+    # --- public API ----------------------------------------------------------
+
+    def detect_batch(self, frames_u8: np.ndarray):
+        """Det-only forward (the reference's SubtitleDetect role): returns
+        (boxes [B,K,4] in original coords, det_scores [B,K], valid [B,K])."""
+        B, h, w, _ = frames_u8.shape
+        hd, wd = self.det_bucket(h, w)
+        resize, inv_scale = self._resize_fn(h, w, hd, wd)
+        det = self._detect_fn(hd, wd)
+        canvas = resize(jnp.asarray(frames_u8))
+        _, boxes, scores, valid = det(self.det_params, canvas)
+        boxes = np.asarray(boxes) * inv_scale
+        # clamp to frame
+        boxes[..., 0::2] = boxes[..., 0::2].clip(0, w - 1)
+        boxes[..., 1::2] = boxes[..., 1::2].clip(0, h - 1)
+        return boxes, np.asarray(scores), np.asarray(valid)
+
+    def predict_batch(
+        self, frames_u8: np.ndarray
+    ) -> List[Tuple[list, list]]:
+        """Full OCR on a frame batch. Returns per-frame (dt_box, rec_res)
+        in the reference's format."""
+        B, h, w, _ = frames_u8.shape
+        boxes, det_scores, valid = self.detect_batch(frames_u8)
+        crop_rec = self._crop_rec_fn(h, w)
+        ids, mask, rec_scores = crop_rec(
+            self.rec_params, jnp.asarray(frames_u8), jnp.asarray(boxes)
+        )
+        ids = np.asarray(ids)
+        mask = np.asarray(mask)
+        rec_scores = np.asarray(rec_scores)
+        out = []
+        for b in range(B):
+            coords = []
+            items = []
+            for k in range(self.max_boxes):
+                if not valid[b, k]:
+                    continue
+                x0, y0, x1, y1 = boxes[b, k]
+                text = self.charset.decode_ids(
+                    [int(i) for i, m in zip(ids[b, k], mask[b, k]) if m]
+                )
+                coords.append((int(x0), int(x1), int(y0), int(y1)))
+                items.append((text, float(rec_scores[b, k])))
+            coords, items = sort_into_lines(coords, items)
+            dt_box = [
+                [(c[0], c[2]), (c[1], c[2]), (c[1], c[3]), (c[0], c[3])]
+                for c in coords
+            ]
+            out.append((dt_box, items))
+        return out
+
+    def predict(self, image_u8: np.ndarray) -> Tuple[list, list]:
+        """Single-image OCR with the reference's `predict` contract
+        (reference backend/tools/ocr.py:24-86)."""
+        return self.predict_batch(image_u8[None])[0]

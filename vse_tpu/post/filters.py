@@ -70,23 +70,42 @@ def detect_watermark_areas(
     return Counter(united).most_common(watermark_area_num)
 
 
+def auto_watermark_policy(
+    coord: Coord, matching: Sequence[RawRecord], min_count: int = 10
+) -> bool:
+    """Non-interactive stand-in for the reference's y/n prompt (reference
+    backend/main.py:551-555): a watermark/logo repeats the SAME text in the
+    same place, while subtitles at a fixed position change text. Drop a
+    candidate only when it recurs enough and its text is near-constant."""
+    if len(matching) < min_count:
+        return False
+    texts = {r.text.strip() for r in matching}
+    return len(texts) <= max(1, len(matching) // 10)
+
+
 def filter_watermark(
     records: List[RawRecord],
     watermark_area_num: int = 5,
     tolerant_pixel_x: int = 100,
     tolerant_pixel_y: int = 50,
-    confirm: ConfirmFn = always_yes,
+    confirm: Optional[ConfirmFn] = None,
 ) -> List[RawRecord]:
     """Drop records whose coordinate matches a confirmed watermark candidate
     (reference backend/main.py:506-565). The reference rewrites raw.txt by
-    substring match on `str(coord)`; we match on the united coordinate."""
+    substring match on `str(coord)`; we match on the united coordinate.
+    With `confirm=None` the auto text-constancy policy decides."""
     united = unite_coordinates(
         [r.coord for r in records], tolerant_pixel_x, tolerant_pixel_y
     )
     candidates = Counter(united).most_common(watermark_area_num)
     to_drop = set()
     for coord, count in candidates:
-        if confirm(f"{coord} appears {count}x — delete as watermark?"):
+        if confirm is not None:
+            drop = confirm(f"{coord} appears {count}x — delete as watermark?")
+        else:
+            matching = [r for r, u in zip(records, united) if u == coord]
+            drop = auto_watermark_policy(coord, matching)
+        if drop:
             to_drop.add(coord)
     return [r for r, u in zip(records, united) if u not in to_drop]
 
