@@ -1,0 +1,217 @@
+"""Synthetic training data: rendered text lines (rec) and subtitle frames (det).
+
+The upstream model weights are mostly LFS-stripped (SURVEY.md §2.5), so the
+framework trains its own detector/recognizer on synthetic burned-subtitle
+data: text rendered over procedural backgrounds with the DejaVu fonts bundled
+with matplotlib. Labels: CTC id sequences for rec; DB shrink/threshold maps
+for det (rect-box approximation of the Vatti offset).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from vse_tpu.core.charset import Charset
+
+
+def _font_paths() -> List[str]:
+    import matplotlib
+
+    d = os.path.join(
+        os.path.dirname(matplotlib.__file__), "mpl-data", "fonts", "ttf"
+    )
+    return sorted(glob.glob(os.path.join(d, "DejaVuSans*.ttf")))
+
+
+@dataclass
+class SynthConfig:
+    rec_h: int = 48
+    rec_w: int = 320
+    det_h: int = 256
+    det_w: int = 448
+    min_font: int = 22
+    max_font: int = 36
+    shrink_ratio: float = 0.4
+    max_label_len: int = 24
+
+
+class TextRenderer:
+    def __init__(self, charset: Charset, cfg: SynthConfig = SynthConfig(), seed: int = 0):
+        self.charset = charset
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.fonts = _font_paths()
+        if not self.fonts:
+            raise RuntimeError("no TTF fonts found (matplotlib DejaVu expected)")
+        # words built from the charset's renderable chars
+        self.alphabet = [c for c in charset.chars if c.strip()]
+
+    def random_text(self, min_len=3, max_len=18) -> str:
+        n = int(self.rng.integers(min_len, max_len + 1))
+        chars = []
+        for _ in range(n):
+            if chars and chars[-1] != " " and self.rng.random() < 0.15:
+                chars.append(" ")
+            else:
+                chars.append(str(self.rng.choice(self.alphabet)))
+        return "".join(chars).strip()
+
+    def _bg(self, w: int, h: int) -> np.ndarray:
+        """Procedural background: gradient + noise blobs."""
+        base = self.rng.uniform(20, 160)
+        gx = np.linspace(0, self.rng.uniform(-40, 40), w)
+        gy = np.linspace(0, self.rng.uniform(-40, 40), h)
+        img = base + gx[None, :] + gy[:, None]
+        img = img[..., None] + self.rng.normal(0, 6, size=(h, w, 3))
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def render_line(self, text: Optional[str] = None) -> Tuple[np.ndarray, str]:
+        """One rec training crop [rec_h, rec_w, 3] uint8 + its text."""
+        cfg = self.cfg
+        if text is None:
+            text = self.random_text()
+        font = ImageFont.truetype(
+            str(self.rng.choice(self.fonts)),
+            int(self.rng.integers(cfg.min_font, cfg.max_font + 1)),
+        )
+        img = Image.fromarray(self._bg(cfg.rec_w, cfg.rec_h))
+        draw = ImageDraw.Draw(img)
+        # white or yellow-ish subtitle text with dark outline (typical burn-in)
+        fill = (255, 255, 255) if self.rng.random() < 0.7 else (255, 255, 0)
+        x = int(self.rng.integers(2, 12))
+        y = int(self.rng.integers(0, 8))
+        draw.text((x, y), text, font=font, fill=fill,
+                  stroke_width=2, stroke_fill=(0, 0, 0))
+        return np.asarray(img, np.uint8), text
+
+    def rec_batch(self, batch: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        imgs = np.zeros((batch, cfg.rec_h, cfg.rec_w, 3), np.uint8)
+        labels = np.zeros((batch, cfg.max_label_len), np.int32)
+        lengths = np.zeros((batch,), np.int32)
+        texts = []
+        for i in range(batch):
+            while True:
+                img, text = self.render_line()
+                ids = self.charset.encode(text)[: cfg.max_label_len]
+                if ids:
+                    break
+            imgs[i] = img
+            labels[i, : len(ids)] = ids
+            lengths[i] = len(ids)
+            texts.append(text)
+        return {
+            "rec_images": imgs,
+            "labels": labels,
+            "label_lengths": lengths,
+            "texts": texts,
+        }
+
+    # --- det ---------------------------------------------------------------
+
+    def render_frame(self) -> Tuple[np.ndarray, List[Tuple[int, int, int, int]]]:
+        """A det training frame [det_h, det_w, 3] + text boxes (xyxy)."""
+        cfg = self.cfg
+        img = Image.fromarray(self._bg(cfg.det_w, cfg.det_h))
+        draw = ImageDraw.Draw(img)
+        boxes = []
+        n_lines = int(self.rng.integers(1, 3))
+        for _ in range(n_lines):
+            text = self.random_text(4, 14)
+            font = ImageFont.truetype(
+                str(self.rng.choice(self.fonts)),
+                int(self.rng.integers(cfg.min_font, cfg.max_font + 1)),
+            )
+            bbox = draw.textbbox((0, 0), text, font=font, stroke_width=2)
+            tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+            if tw >= cfg.det_w - 8 or th >= cfg.det_h - 8:
+                continue
+            x = int(self.rng.integers(4, cfg.det_w - tw - 4))
+            y = int(self.rng.integers(4, cfg.det_h - th - 4))
+            draw.text((x - bbox[0], y - bbox[1]), text, font=font,
+                      fill=(255, 255, 255), stroke_width=2, stroke_fill=(0, 0, 0))
+            boxes.append((x, y, x + tw, y + th))
+        return np.asarray(img, np.uint8), boxes
+
+    def det_labels(
+        self, boxes: Sequence[Tuple[int, int, int, int]]
+    ) -> Dict[str, np.ndarray]:
+        """DB targets for rect boxes: shrink map (box inset by the DB offset
+        d = A(1-r^2)/L), threshold map (linear ramp in the border band),
+        and their masks."""
+        cfg = self.cfg
+        H, W = cfg.det_h, cfg.det_w
+        shrink = np.zeros((H, W), np.float32)
+        thresh = np.zeros((H, W), np.float32)
+        thresh_mask = np.zeros((H, W), np.float32)
+        r = cfg.shrink_ratio
+        for (x0, y0, x1, y1) in boxes:
+            bw, bh = x1 - x0, y1 - y0
+            if bw <= 2 or bh <= 2:
+                continue
+            area, perim = bw * bh, 2 * (bw + bh)
+            d = max(1, int(round(area * (1 - r * r) / perim)))
+            sx0, sy0 = x0 + d, y0 + d
+            sx1, sy1 = x1 - d, y1 - d
+            if sx1 > sx0 and sy1 > sy0:
+                shrink[sy0:sy1, sx0:sx1] = 1.0
+            # threshold band: dilate box by d; ramp = 1 - dist/d clipped
+            ex0, ey0 = max(0, x0 - d), max(0, y0 - d)
+            ex1, ey1 = min(W, x1 + d), min(H, y1 + d)
+            ys, xs = np.mgrid[ey0:ey1, ex0:ex1]
+            dx = np.maximum(np.maximum(x0 - xs, xs - x1), 0)
+            dy = np.maximum(np.maximum(y0 - ys, ys - y1), 0)
+            dist_out = np.sqrt(dx * dx + dy * dy)
+            inx = np.minimum(xs - x0, x1 - xs)
+            iny = np.minimum(ys - y0, y1 - ys)
+            dist_in = np.maximum(np.minimum(inx, iny), 0)
+            dist = np.where(dist_out > 0, dist_out, dist_in)
+            band = np.clip(1.0 - dist / d, 0, 1)
+            thresh[ey0:ey1, ex0:ex1] = np.maximum(thresh[ey0:ey1, ex0:ex1], band)
+            thresh_mask[ey0:ey1, ex0:ex1] = 1.0
+        # DB thresh target lives in [0.3, 0.7]
+        thresh = 0.3 + 0.4 * thresh
+        return {
+            "gt_shrink": shrink,
+            "gt_shrink_mask": np.ones((H, W), np.float32),
+            "gt_thresh": thresh,
+            "gt_thresh_mask": thresh_mask,
+        }
+
+    def det_batch(self, batch: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        out = {
+            "det_images": np.zeros((batch, cfg.det_h, cfg.det_w, 3), np.uint8),
+            "gt_shrink": np.zeros((batch, cfg.det_h, cfg.det_w), np.float32),
+            "gt_shrink_mask": np.zeros((batch, cfg.det_h, cfg.det_w), np.float32),
+            "gt_thresh": np.zeros((batch, cfg.det_h, cfg.det_w), np.float32),
+            "gt_thresh_mask": np.zeros((batch, cfg.det_h, cfg.det_w), np.float32),
+            "boxes": [],
+        }
+        for i in range(batch):
+            img, boxes = self.render_frame()
+            labels = self.det_labels(boxes)
+            out["det_images"][i] = img
+            for k, v in labels.items():
+                out[k][i] = v
+            out["boxes"].append(boxes)
+        return out
+
+    def combined_batch(self, batch: int) -> Dict[str, np.ndarray]:
+        """One batch feeding the combined det+rec train step."""
+        det = self.det_batch(batch)
+        rec = self.rec_batch(batch)
+        out = {**det, **rec}
+        out["det_images"] = out["det_images"].astype(np.float32) / 255.0
+        out["det_images"] = (out["det_images"] - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+        out["det_images"] = out["det_images"].astype(np.float32)
+        out["rec_images"] = ((out["rec_images"].astype(np.float32) / 255.0) - 0.5) / 0.5
+        out.pop("boxes")
+        out.pop("texts")
+        return out
