@@ -43,7 +43,9 @@ def test_connected_components_match_scipy():
 
 def test_db_postprocess_device_matches_host():
     prob = make_prob_map()
-    boxes_d, scores_d, valid_d = db_postprocess(jnp.asarray(prob)[None], max_boxes=4)
+    boxes_d, scores_d, valid_d = db_postprocess(
+        jnp.asarray(prob)[None], max_boxes=4, pool=1
+    )
     boxes_h, scores_h, valid_h = db_postprocess_host(prob, max_boxes=4)
     boxes_d = np.array(boxes_d[0])
     valid_d = np.array(valid_d[0])
@@ -51,6 +53,23 @@ def test_db_postprocess_device_matches_host():
     want = {tuple(np.round(b, 2)) for b, v in zip(boxes_h, valid_h) if v}
     assert got == want
     assert valid_d.sum() == valid_h.sum() == 2  # noise blob filtered by area
+
+
+def test_db_postprocess_pooled_covers_exact_boxes():
+    """pool=4 fast path: boxes expand conservatively to the pool grid and
+    must still cover the exact components."""
+    prob = make_prob_map()
+    boxes_d, _, valid_d = db_postprocess(jnp.asarray(prob)[None], max_boxes=4, pool=4)
+    boxes_h, _, valid_h = db_postprocess_host(prob, max_boxes=4)
+    covered = 0
+    for bh, vh in zip(boxes_h, valid_h):
+        if not vh:
+            continue
+        for bd, vd in zip(np.array(boxes_d[0]), np.array(valid_d[0])):
+            if vd and bd[0] <= bh[0] and bd[1] <= bh[1] and bd[2] >= bh[2] - 4 and bd[3] >= bh[3] - 4:
+                covered += 1
+                break
+    assert covered == valid_h.sum()
 
 
 def test_box_scores_integral_image():

@@ -35,11 +35,11 @@ def test_db_detector_train_outputs(rngkey):
 
 def test_crnn_mobile_shapes(rngkey):
     model = CRNNRecognizer(vocab_size=97, variant="mobile")
-    x = jnp.zeros((2, 48, 320, 3), jnp.float32)
+    x = jnp.zeros((2, 48, 160, 3), jnp.float32)
     params = model.init(rngkey, x)
     logits = model.apply(params, x)
     # W/4 sequence steps, vocab+1 classes
-    assert logits.shape == (2, 80, 98)
+    assert logits.shape == (2, 40, 98)
     assert logits.dtype == jnp.float32
 
 

@@ -65,7 +65,7 @@ def test_train_step_reduces_loss():
 
     cs = get_charset("digits")
     det, rec = make_models(cs.vocab_size)
-    cfg = SynthConfig(det_h=64, det_w=96, rec_h=48, rec_w=64, max_label_len=6,
+    cfg = SynthConfig(det_h=32, det_w=64, rec_h=48, rec_w=64, max_label_len=6,
                       min_font=10, max_font=14)
     state, tx = init_state(
         det, rec,

@@ -119,9 +119,20 @@ class VseConfig:
     # reference backend/tools/paddle_model_config.py:93-97).
     rec_image_height: int = 48
     rec_image_width: int = 320
+    # DB postprocess knobs (PaddleOCR defaults: thresh .3, box_thresh .6,
+    # unclip 1.6). db_pool: connected components run on a db_pool-x
+    # max-pooled map (device fast path; 1 = exact full-res); db_sweeps:
+    # label-propagation sweeps.
+    db_thresh: float = 0.3
+    db_box_thresh: float = 0.6
+    db_unclip_ratio: float = 1.6
+    db_pool: int = 8
+    db_sweeps: int = 2
     # Detection input size bucket (H, W) — frames are letterboxed to this.
-    det_image_height: int = 736
-    det_image_width: int = 1280
+    # Mirrors PaddleOCR's det_limit_side_len=960 used by the reference: a
+    # 1080p frame det-scans at 960x540 (padded to 960x576).
+    det_image_height: int = 576
+    det_image_width: int = 960
 
     def __post_init__(self):
         if isinstance(self.mode, str) and not isinstance(self.mode, Mode):

@@ -94,8 +94,11 @@ def init_or_load(model, example_input, ckpt_path: str, seed: int = 0) -> Tuple[A
 
     Returns (variables, loaded). Random init is the documented cold-start:
     the upstream weights are converted offline (most reference `.pdiparams`
-    are LFS-stripped in this snapshot — SURVEY.md §2.5)."""
-    variables = model.init(jax.random.PRNGKey(seed), example_input)
+    are LFS-stripped in this snapshot — SURVEY.md §2.5).
+
+    init runs under jit: eager flax init dispatches each op separately to the
+    device (catastrophic over a remote TPU tunnel — measured 246s vs 4s)."""
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), example_input)
     if os.path.isdir(ckpt_path):
         try:
             return load_params(ckpt_path, like=variables), True

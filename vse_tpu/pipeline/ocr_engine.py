@@ -33,6 +33,7 @@ from vse_tpu.ops.ctc import ctc_greedy_decode, decode_batch_to_texts
 from vse_tpu.ops.db_postprocess import db_postprocess
 from vse_tpu.ops.image import (
     crop_axis_aligned_fixed,
+    crop_axis_aligned_matmul,
     normalize_det,
     normalize_rec,
 )
@@ -136,13 +137,21 @@ class OcrEngine:
         key = ("det", hd, wd)
         if key not in self._fn_cache:
 
+            cfg = self.config
+
             @jax.jit
             def run(det_params, frames_u8):
                 # frames_u8: [B, hd, wd, 3] already letterboxed on device side
                 x = normalize_det(frames_u8)
                 prob = self.det_model.apply(det_params, x)
                 boxes, scores, valid = db_postprocess(
-                    prob, max_boxes=self.max_boxes
+                    prob,
+                    max_boxes=self.max_boxes,
+                    thresh=cfg.db_thresh,
+                    box_thresh=cfg.db_box_thresh,
+                    unclip_ratio=cfg.db_unclip_ratio,
+                    pool=cfg.db_pool,
+                    num_sweeps=cfg.db_sweeps,
                 )
                 return prob, boxes, scores, valid
 
@@ -180,7 +189,7 @@ class OcrEngine:
                 def per_frame(frame, fboxes):
                     f = frame.astype(jnp.float32)
                     crops = jax.vmap(
-                        lambda b: crop_axis_aligned_fixed(
+                        lambda b: crop_axis_aligned_matmul(
                             f, b, self.rec_h, self.rec_w
                         )
                     )(fboxes)

@@ -1,0 +1,206 @@
+"""Synthetic pretraining: produce working det/rec checkpoints from scratch.
+
+Most upstream weights are LFS-stripped (SURVEY.md §2.5 / hard part #1), so
+the framework bootstraps its own: CRNN recognizers train on rendered text
+lines, the DB detector on rendered subtitle frames (vse_tpu/train/synth.py).
+Run on TPU:
+
+  python -m vse_tpu.train.pretrain rec --language en --steps 3000
+  python -m vse_tpu.train.pretrain det --steps 1500
+
+Checkpoints land in the registry layout (vse_tpu/core/registry.py):
+  checkpoints/rec_<family>_<variant>/ and checkpoints/det_<variant>/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import threading
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vse_tpu.core.charset import get_charset
+from vse_tpu.core.registry import models_root, save_params
+from vse_tpu.models.crnn import CRNNRecognizer
+from vse_tpu.models.db_detector import DBDetector
+from vse_tpu.ops.ctc import ctc_greedy_decode, decode_batch_to_texts
+from vse_tpu.train.losses import ctc_rec_loss, db_loss
+from vse_tpu.train.synth import SynthConfig, TextRenderer
+
+
+def _prefetch(make_batch, depth=4):
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            try:
+                q.put(make_batch(), timeout=1)
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    return q, stop
+
+
+def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
+              variant: str = "mobile", log_every: int = 50) -> str:
+    charset = get_charset(language)
+    cfg = SynthConfig()
+    rec = CRNNRecognizer(vocab_size=charset.vocab_size, variant=variant)
+    variables = rec.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, cfg.rec_h, cfg.rec_w, 3))
+    )
+    tx = optax.adamw(optax.warmup_cosine_decay_schedule(0, lr, 100, steps))
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step_fn(params, opt_state, images, labels, lengths):
+        def loss_fn(p):
+            logits = rec.apply({"params": p}, images)
+            return ctc_rec_loss(logits, labels, lengths)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    renderer = TextRenderer(charset, cfg, seed=seed)
+
+    def make_batch():
+        b = renderer.rec_batch(batch)
+        imgs = ((b["rec_images"].astype(np.float32) / 255.0) - 0.5) / 0.5
+        return imgs, b["labels"], b["label_lengths"], b["texts"]
+
+    q, stop = _prefetch(make_batch)
+    params = variables["params"]
+    t0 = time.time()
+    try:
+        for i in range(steps):
+            imgs, labels, lengths, texts = q.get()
+            params, opt_state, loss = step_fn(
+                params, opt_state, jnp.asarray(imgs), jnp.asarray(labels),
+                jnp.asarray(lengths),
+            )
+            if i % log_every == 0 or i == steps - 1:
+                logits = rec.apply({"params": params}, jnp.asarray(imgs[:4]))
+                ids, mask, _ = ctc_greedy_decode(logits)
+                preds = decode_batch_to_texts(ids, mask, charset)
+                exact = sum(p == t for p, t in zip(preds, texts[:4]))
+                print(
+                    f"[rec {language}] step {i} loss {float(loss):.4f} "
+                    f"sample-exact {exact}/4 ({time.time()-t0:.0f}s) "
+                    f"pred={preds[0]!r} gt={texts[0]!r}"
+                )
+    finally:
+        stop.set()
+    path = f"{models_root()}/rec_{charset.name}_{variant}"
+    save_params({"params": params}, path)
+    print(f"saved {path}")
+    return path
+
+
+def train_det(steps: int, batch: int, lr: float, seed: int,
+              variant: str = "mobile", log_every: int = 25,
+              det_h: int = 256, det_w: int = 448) -> str:
+    charset = get_charset("en")
+    cfg = SynthConfig(det_h=det_h, det_w=det_w)
+    det = DBDetector(variant=variant, train_outputs=True)
+    variables = det.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, det_h, det_w, 3)), train=True
+    )
+    tx = optax.adamw(optax.warmup_cosine_decay_schedule(0, lr, 100, steps))
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step_fn(params, batch_stats, opt_state, batch):
+        def loss_fn(p):
+            (prob, thresh, binary), mut = det.apply(
+                {"params": p, **batch_stats}, batch["det_images"], train=True,
+                mutable=["batch_stats"],
+            )
+            loss, metrics = db_loss(
+                prob, thresh, binary,
+                batch["gt_shrink"], batch["gt_shrink_mask"],
+                batch["gt_thresh"], batch["gt_thresh_mask"],
+            )
+            return loss, (mut, metrics)
+
+        (loss, (mut, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), mut, opt_state, loss, metrics
+
+    renderer = TextRenderer(charset, cfg, seed=seed)
+
+    def make_batch():
+        b = renderer.det_batch(batch)
+        imgs = b["det_images"].astype(np.float32) / 255.0
+        imgs = (imgs - np.array([0.485, 0.456, 0.406], np.float32)) / np.array(
+            [0.229, 0.224, 0.225], np.float32
+        )
+        return {
+            "det_images": imgs.astype(np.float32),
+            "gt_shrink": b["gt_shrink"],
+            "gt_shrink_mask": b["gt_shrink_mask"],
+            "gt_thresh": b["gt_thresh"],
+            "gt_thresh_mask": b["gt_thresh_mask"],
+        }
+
+    q, stop = _prefetch(make_batch)
+    params = variables["params"]
+    batch_stats = {k: v for k, v in variables.items() if k != "params"}
+    t0 = time.time()
+    try:
+        for i in range(steps):
+            hb = {k: jnp.asarray(v) for k, v in q.get().items()}
+            params, mut, opt_state, loss, metrics = step_fn(
+                params, batch_stats, opt_state, hb
+            )
+            batch_stats = mut
+            if i % log_every == 0 or i == steps - 1:
+                print(
+                    f"[det] step {i} loss {float(loss):.4f} "
+                    f"bce {float(metrics['shrink_bce']):.4f} "
+                    f"dice {float(metrics['binary_dice']):.4f} "
+                    f"l1 {float(metrics['thresh_l1']):.4f} ({time.time()-t0:.0f}s)"
+                )
+    finally:
+        stop.set()
+    path = f"{models_root()}/det_{variant}"
+    save_params({"params": params, **batch_stats}, path)
+    print(f"saved {path}")
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="what", required=True)
+    pr = sub.add_parser("rec")
+    pr.add_argument("--language", default="en")
+    pr.add_argument("--steps", type=int, default=3000)
+    pr.add_argument("--batch", type=int, default=64)
+    pr.add_argument("--lr", type=float, default=1e-3)
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--variant", default="mobile", choices=["mobile", "server"])
+    pd = sub.add_parser("det")
+    pd.add_argument("--steps", type=int, default=1500)
+    pd.add_argument("--batch", type=int, default=16)
+    pd.add_argument("--lr", type=float, default=5e-4)
+    pd.add_argument("--seed", type=int, default=0)
+    pd.add_argument("--variant", default="mobile", choices=["mobile", "server"])
+    args = ap.parse_args()
+    if args.what == "rec":
+        train_rec(args.language, args.steps, args.batch, args.lr, args.seed,
+                  args.variant)
+    else:
+        train_det(args.steps, args.batch, args.lr, args.seed, args.variant)
+
+
+if __name__ == "__main__":
+    main()
