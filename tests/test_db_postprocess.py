@@ -81,7 +81,22 @@ def test_box_scores_integral_image():
 
 def test_component_boxes_order_by_area():
     prob = make_prob_map()
-    boxes, areas = component_boxes(jnp.asarray(prob > 0.3), max_boxes=4)
+    boxes, areas, _scores = component_boxes(jnp.asarray(prob > 0.3), max_boxes=4)
     areas = np.array(areas)
     assert areas[0] >= areas[1] >= areas[2]
     assert areas[0] == 12 * 70  # second blob is biggest
+
+
+def test_component_scores_are_pixel_means():
+    prob = make_prob_map()
+    hit = jnp.asarray(prob > 0.3)
+    masked = jnp.where(hit, jnp.asarray(prob), 0.0)
+    boxes, areas, scores = component_boxes(
+        hit, max_boxes=4, pixel_prob_sum=masked,
+        pixel_prob_cnt=hit.astype(jnp.float32),
+    )
+    scores = np.array(scores)
+    areas = np.array(areas)
+    # the two blobs have uniform probs 0.8 and 0.9
+    got = sorted(round(float(s), 4) for s, a in zip(scores, areas) if a > 100)
+    assert got == [0.8, 0.9]

@@ -89,6 +89,36 @@ def load_params(path: str, like: Optional[Any] = None) -> Any:
     return ckptr.restore(path)
 
 
+def load_det(spec: "ModelSpec", example_input, seed: int = 0):
+    """Resolve the detector (model, variables, loaded_flag).
+
+    Preference order for the mobile variant:
+    1. converted PP-OCRv3 weights (checkpoints/ppocr_v3_det_mobile.npz,
+       produced by tools/convert_paddle.py from the reference's only intact
+       weights file) loaded into the exact-compat architecture;
+    2. an orbax checkpoint of our own DBDetector (synthetic pretraining);
+    3. random init.
+    """
+    import numpy as np
+
+    from vse_tpu.models.db_detector import DBDetector
+
+    if spec.det_variant == "mobile":
+        npz_path = os.path.join(models_root(), "ppocr_v3_det_mobile.npz")
+        if os.path.exists(npz_path):
+            from vse_tpu.models.ppocr_det import (
+                PPOCRv3DetMobile,
+                load_ppocr_det_weights,
+            )
+
+            weights = dict(np.load(npz_path))
+            model = PPOCRv3DetMobile()
+            return model, load_ppocr_det_weights(weights), True
+    model = DBDetector(variant=spec.det_variant)
+    variables, loaded = init_or_load(model, example_input, spec.det_ckpt, seed)
+    return model, variables, loaded
+
+
 def init_or_load(model, example_input, ckpt_path: str, seed: int = 0) -> Tuple[Any, bool]:
     """Restore params from a checkpoint if present, else random-init.
 

@@ -80,13 +80,25 @@ def connected_component_labels(binary: jnp.ndarray, num_sweeps: int = 4) -> jnp.
 
 
 def component_boxes(
-    binary: jnp.ndarray, max_boxes: int, num_sweeps: int = 4
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    binary: jnp.ndarray,
+    max_boxes: int,
+    num_sweeps: int = 4,
+    pixel_prob_sum: jnp.ndarray = None,
+    pixel_prob_cnt: jnp.ndarray = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Extract up to `max_boxes` component bounding boxes from a [H, W] bool map.
+
+    Optional pixel_prob_sum/cnt [H, W]: per-cell sums/counts of thresholded
+    probability; when given, each component's score is the mean probability
+    over its own pixels — matching the reference stack's score-inside-contour
+    (PaddleOCR DBPostProcess box_score), NOT a bbox mean (the DB shrink
+    kernel is thin, so a bbox mean under-counts).
 
     Returns:
       boxes: [K, 4] float32 (xmin, ymin, xmax, ymax), ordered by area desc.
       areas: [K] int32 pixel counts (0 where no component).
+      scores: [K] float32 component-mean probabilities (0 where no component
+              or when pixel_prob_* not given).
     """
     H, W = binary.shape
     labels = connected_component_labels(binary, num_sweeps)
@@ -101,8 +113,8 @@ def component_boxes(
     )
     top_area, top_idx = jax.lax.top_k(area, max_boxes)
 
-    # bounding boxes of the K winners by masked reductions (vector ops beat
-    # four more scatters by ~3x on TPU)
+    # bounding boxes + scores of the K winners by masked reductions (vector
+    # ops beat more scatters by ~3x on TPU)
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     big = jnp.int32(2**30)
@@ -113,14 +125,22 @@ def component_boxes(
         rmax = jnp.max(jnp.where(mask, rows, -1))
         cmin = jnp.min(jnp.where(mask, cols, big))
         cmax = jnp.max(jnp.where(mask, cols, -1))
-        return jnp.stack(
+        box = jnp.stack(
             [cmin.astype(jnp.float32), rmin.astype(jnp.float32),
              cmax.astype(jnp.float32), rmax.astype(jnp.float32)]
         )
+        if pixel_prob_sum is not None:
+            psum = jnp.sum(jnp.where(mask, pixel_prob_sum, 0.0))
+            pcnt = jnp.sum(jnp.where(mask, pixel_prob_cnt, 0.0))
+            score = psum / jnp.maximum(pcnt, 1.0)
+        else:
+            score = jnp.float32(0.0)
+        return box, score
 
-    boxes = jax.vmap(box_of)(top_idx)
+    boxes, scores = jax.vmap(box_of)(top_idx)
     boxes = jnp.where((top_area > 0)[:, None], boxes, 0.0)
-    return boxes, top_area
+    scores = jnp.where(top_area > 0, scores, 0.0)
+    return boxes, top_area, scores
 
 
 def box_mean_scores(prob: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
@@ -187,14 +207,19 @@ def db_postprocess(
     B, H, W = prob.shape
 
     def one(p):
+        hit = p > thresh
+        masked = jnp.where(hit, p, 0.0)
         if pool > 1:
             hp, wp = H // pool, W // pool
-            tiles = p[: hp * pool, : wp * pool].reshape(hp, pool, wp, pool)
-            small = jnp.max(tiles, axis=(1, 3)) > thresh
-            avg_small = jnp.mean(tiles, axis=(1, 3))
-            boxes_s, areas_s = component_boxes(small, max_boxes, num_sweeps)
-            # scores on the pooled mean map: exact for pool-aligned boxes
-            scores = box_mean_scores(avg_small, boxes_s)
+            tiles_hit = hit[: hp * pool, : wp * pool].reshape(hp, pool, wp, pool)
+            tiles_masked = masked[: hp * pool, : wp * pool].reshape(hp, pool, wp, pool)
+            small = jnp.max(tiles_hit, axis=(1, 3))
+            psum = jnp.sum(tiles_masked, axis=(1, 3))
+            pcnt = jnp.sum(tiles_hit.astype(jnp.float32), axis=(1, 3))
+            boxes_s, areas_s, scores = component_boxes(
+                small, max_boxes, num_sweeps,
+                pixel_prob_sum=psum, pixel_prob_cnt=pcnt,
+            )
             boxes = jnp.stack(
                 [
                     boxes_s[:, 0] * pool,
@@ -204,12 +229,16 @@ def db_postprocess(
                 ],
                 axis=-1,
             )
-            areas = areas_s * (pool * pool)
+            # areas in true thresholded pixels (not pooled-cell upper bound)
+            areas = areas_s  # used only for the min_area gate, in cells
+            min_area_cells = -(-min_area // (pool * pool))
+            valid = (areas >= min_area_cells) & (scores > box_thresh)
         else:
-            binary = p > thresh
-            boxes, areas = component_boxes(binary, max_boxes, num_sweeps)
-            scores = box_mean_scores(p, boxes)
-        valid = (areas >= min_area) & (scores > box_thresh)
+            boxes, areas, scores = component_boxes(
+                hit, max_boxes, num_sweeps,
+                pixel_prob_sum=masked, pixel_prob_cnt=hit.astype(jnp.float32),
+            )
+            valid = (areas >= min_area) & (scores > box_thresh)
         boxes = unclip_boxes(boxes, unclip_ratio, H, W)
         boxes = jnp.where(valid[:, None], boxes, 0.0)
         return boxes, scores, valid
@@ -240,7 +269,9 @@ def db_postprocess_host(
         ys, xs = np.nonzero(labels == comp)
         area = len(ys)
         box = [xs.min(), ys.min(), xs.max(), ys.max()]
-        score = float(prob[box[1] : box[3] + 1, box[0] : box[2] + 1].mean())
+        # score = mean prob over the component's own pixels (the reference
+        # stack's score-inside-contour)
+        score = float(prob[ys, xs].mean())
         boxes.append(box)
         scores.append(score)
         areas.append(area)

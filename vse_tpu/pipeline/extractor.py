@@ -56,6 +56,7 @@ class SubtitleExtractor:
         config: Optional[VseConfig] = None,
         engine: Optional[OcrEngine] = None,
         confirm=None,
+        resume: bool = False,
     ):
         self.video_path = video_path
         self.config = config or VseConfig()
@@ -80,6 +81,7 @@ class SubtitleExtractor:
             os.path.dirname(video_path), f"{Path(video_path).stem}.srt"
         )
         self.use_keyframe_timeline = False
+        self.resume = resume
 
     # --- reference-parity helpers -------------------------------------------
 
@@ -161,17 +163,70 @@ class SubtitleExtractor:
                 parts.append(text)
         return "".join(parts)
 
+    def capture_frame_with_subtitle_area(self, output_path: Optional[str] = None) -> Optional[str]:
+        """Save the first frame with the subtitle area drawn on it (reference
+        backend/main.py:193-226 writes temp_output_dir/sub_area.jpg)."""
+        import cv2
+
+        from vse_tpu.video.decode import read_frame
+
+        frame = read_frame(self.video_path, 0, rgb=False)
+        if frame is None:
+            return None
+        frame = frame.copy()
+        if self.sub_area is not None:
+            a = self.sub_area
+            cv2.rectangle(frame, (a.xmin, a.ymin), (a.xmax, a.ymax), (0, 255, 0), 2)
+            cv2.putText(frame, "Subtitle Area", (a.xmin, max(0, a.ymin - 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.9, (0, 255, 0), 2)
+        if output_path is None:
+            output_path = os.path.join(
+                os.path.dirname(self.subtitle_output_path), "sub_area.jpg"
+            )
+        cv2.imwrite(output_path, frame)
+        return output_path
+
+    def dump_raw_records(self, path: Optional[str] = None) -> str:
+        """Write raw.txt in the reference's exact format for debugging
+        (reference keeps it when debugNoDeleteCache, backend/main.py:981-987)."""
+        from vse_tpu.post.records import write_raw
+
+        if path is None:
+            path = os.path.join(
+                os.path.dirname(self.subtitle_output_path), "raw.txt"
+            )
+        write_raw(self.raw_records, path)
+        return path
+
     # --- strategies -----------------------------------------------------------
 
     def extract_frame_by_fps(self) -> None:
         """Stride sampling: OCR `extract_frequency` frames per second
-        (reference backend/main.py:228-253)."""
+        (reference backend/main.py:228-253). Supports resume via the
+        progress manifest (no reference equivalent — SURVEY.md §5)."""
+        from vse_tpu.pipeline.resume import ProgressManifest
+
         stride = max(1, int(self.fps // self.config.extract_frequency))
+        start_frame = 0
+        manifest = None
+        if self.resume:
+            manifest = ProgressManifest.load(self.video_path, "fps")
+            if manifest is not None and manifest.last_frame_no > 0:
+                self.raw_records.extend(manifest.records)
+                start_frame = manifest.last_frame_no
+                self.append_output(
+                    f"resuming from frame {start_frame} "
+                    f"({len(manifest.records)} records restored)"
+                )
+            else:
+                manifest = ProgressManifest(self.video_path, "fps")
         stream = FrameStream(
             self.video_path,
             batch_size=self.config.frame_batch,
             stride=stride,
+            start_frame=start_frame,
         )
+        batches_since_save = 0
         for batch in stream:
             n_valid = int(batch.valid.sum())
             results = self.engine.predict_batch(batch.frames[:n_valid])
@@ -180,7 +235,16 @@ class SubtitleExtractor:
                 self._gate_and_record(int(batch.frame_nos[i]), dt_box, rec_res)
             done = float(batch.frame_nos[n_valid - 1]) / max(1, self.frame_count)
             self.update_progress(frame_extract=done * 100, ocr=done * 100)
+            if manifest is not None:
+                batches_since_save += 1
+                if batches_since_save >= 8:
+                    manifest.last_frame_no = int(batch.frame_nos[n_valid - 1])
+                    manifest.records = list(self.raw_records)
+                    manifest.save()
+                    batches_since_save = 0
         self._frame_to_ms.update(stream.frame_to_ms)
+        if manifest is not None:
+            manifest.clear()
 
     def extract_frame_by_keyframe(self) -> None:
         """Keyframe scanner path (the reference's VideoSubFinder stage,
@@ -340,6 +404,8 @@ class SubtitleExtractor:
                     confirm=self.confirm or always_yes,
                 )
 
+            if self.config.debug_no_delete_cache:
+                self.dump_raw_records()
             self.generate_subtitle_file()
             if self.config.word_segmentation:
                 reformat_execute(self.subtitle_output_path, self.config.language)

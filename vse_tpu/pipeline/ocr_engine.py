@@ -26,7 +26,7 @@ import numpy as np
 
 from vse_tpu.core.charset import Charset, get_charset
 from vse_tpu.core.config import Mode, VseConfig
-from vse_tpu.core.registry import ModelSpec, init_or_load, resolve
+from vse_tpu.core.registry import ModelSpec, init_or_load, load_det, resolve
 from vse_tpu.models.crnn import CRNNRecognizer
 from vse_tpu.models.db_detector import DBDetector
 from vse_tpu.ops.ctc import ctc_greedy_decode, decode_batch_to_texts
@@ -96,7 +96,6 @@ class OcrEngine:
         self.mode = mode
         self.spec: ModelSpec = resolve(language, mode, accelerated)
         self.charset = charset or get_charset(language)
-        self.det_model = DBDetector(variant=self.spec.det_variant)
         self.rec_model = CRNNRecognizer(
             vocab_size=self.charset.vocab_size, variant=self.spec.rec_variant
         )
@@ -108,11 +107,12 @@ class OcrEngine:
         dummy_det = jnp.zeros((1, 64, 64, 3), jnp.float32)
         dummy_rec = jnp.zeros((1, self.rec_h, self.rec_w, 3), jnp.float32)
         if det_params is not None:
+            self.det_model = DBDetector(variant=self.spec.det_variant)
             self.det_params = det_params
             self.det_loaded = True
         else:
-            self.det_params, self.det_loaded = init_or_load(
-                self.det_model, dummy_det, self.spec.det_ckpt, seed
+            self.det_model, self.det_params, self.det_loaded = load_det(
+                self.spec, dummy_det, seed
             )
         if rec_params is not None:
             self.rec_params = rec_params

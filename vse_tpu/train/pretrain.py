@@ -55,21 +55,25 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     charset = get_charset(language)
     cfg = SynthConfig()
     rec = CRNNRecognizer(vocab_size=charset.vocab_size, variant=variant)
-    variables = rec.init(
-        jax.random.PRNGKey(seed), jnp.zeros((1, cfg.rec_h, cfg.rec_w, 3))
+    variables = jax.jit(rec.init, static_argnames=("train",))(
+        jax.random.PRNGKey(seed), jnp.zeros((1, cfg.rec_h, cfg.rec_w, 3)),
+        train=True,
     )
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(0, lr, 100, steps))
     opt_state = tx.init(variables["params"])
 
     @jax.jit
-    def step_fn(params, opt_state, images, labels, lengths):
+    def step_fn(params, batch_stats, opt_state, images, labels, lengths):
         def loss_fn(p):
-            logits = rec.apply({"params": p}, images)
-            return ctc_rec_loss(logits, labels, lengths)
+            logits, mut = rec.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"],
+            )
+            return ctc_rec_loss(logits, labels, lengths), mut["batch_stats"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     renderer = TextRenderer(charset, cfg, seed=seed)
 
@@ -80,16 +84,20 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
 
     q, stop = _prefetch(make_batch)
     params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    eval_fn = jax.jit(
+        lambda p, bs, x: rec.apply({"params": p, "batch_stats": bs}, x)
+    )
     t0 = time.time()
     try:
         for i in range(steps):
             imgs, labels, lengths, texts = q.get()
-            params, opt_state, loss = step_fn(
-                params, opt_state, jnp.asarray(imgs), jnp.asarray(labels),
-                jnp.asarray(lengths),
+            params, batch_stats, opt_state, loss = step_fn(
+                params, batch_stats, opt_state, jnp.asarray(imgs),
+                jnp.asarray(labels), jnp.asarray(lengths),
             )
             if i % log_every == 0 or i == steps - 1:
-                logits = rec.apply({"params": params}, jnp.asarray(imgs[:4]))
+                logits = eval_fn(params, batch_stats, jnp.asarray(imgs[:4]))
                 ids, mask, _ = ctc_greedy_decode(logits)
                 preds = decode_batch_to_texts(ids, mask, charset)
                 exact = sum(p == t for p, t in zip(preds, texts[:4]))
@@ -101,7 +109,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     finally:
         stop.set()
     path = f"{models_root()}/rec_{charset.name}_{variant}"
-    save_params({"params": params}, path)
+    save_params({"params": params, "batch_stats": batch_stats}, path)
     print(f"saved {path}")
     return path
 
