@@ -1,0 +1,56 @@
+"""Multi-chip data-parallel inference over the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from vse_tpu.core.accelerator import Accelerator
+from vse_tpu.core.config import Mode, VseConfig
+from vse_tpu.pipeline.ocr_engine import OcrEngine
+
+
+@pytest.fixture(scope="module")
+def sharded_engine():
+    import jax
+
+    mesh = Accelerator.instance().make_mesh(
+        ("data",), devices=jax.devices("cpu")
+    )
+    cfg = VseConfig(
+        language="en",
+        det_image_height=64,
+        det_image_width=96,
+        rec_image_height=48,
+        rec_image_width=64,
+        max_boxes_per_frame=4,
+    )
+    return OcrEngine(language="en", mode=Mode.FAST, config=cfg, mesh=mesh)
+
+
+def test_sharded_batch_runs_and_matches_shapes(sharded_engine):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(8, 64, 96, 3), dtype=np.uint8)
+    out = sharded_engine.predict_batch(frames)
+    assert len(out) == 8
+
+
+def test_sharded_handles_non_divisible_batch(sharded_engine):
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, size=(5, 64, 96, 3), dtype=np.uint8)
+    out = sharded_engine.predict_batch(frames)
+    assert len(out) == 5
+
+
+def test_sharded_matches_unsharded(sharded_engine):
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, size=(8, 64, 96, 3), dtype=np.uint8)
+    plain = OcrEngine(
+        language="en", mode=Mode.FAST, config=sharded_engine.config,
+        det_params=sharded_engine.det_params,
+        rec_params=sharded_engine.rec_params,
+    )
+    # same weights loaded differently would change det model class; force same
+    plain.det_model = sharded_engine.det_model
+    plain._fn_cache = {}
+    a = sharded_engine.predict_batch(frames)
+    b = plain.predict_batch(frames)
+    assert [x[1] for x in a] == [x[1] for x in b]

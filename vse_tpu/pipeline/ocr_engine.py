@@ -90,7 +90,12 @@ class OcrEngine:
         rec_params: Any = None,
         accelerated: bool = True,
         seed: int = 0,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — frame
+        batches shard across chips (each chip OCRs its own frames; params
+        replicate; no collectives on the hot path — SURVEY.md §2.2 P3/P5
+        TPU equivalents). None = single-device."""
         self.config = config or VseConfig(language=language, mode=mode)
         self.language = language
         self.mode = mode
@@ -122,6 +127,30 @@ class OcrEngine:
                 self.rec_model, dummy_rec, self.spec.rec_ckpt, seed + 1
             )
         self._fn_cache: dict = {}
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            self.det_params = jax.device_put(self.det_params, rep)
+            self.rec_params = jax.device_put(self.rec_params, rep)
+        else:
+            self._data_sharding = None
+
+    def _shard_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Place a [B, ...] batch on the mesh, padding B up to a multiple of
+        the data-axis size (padding rows produce no valid boxes)."""
+        if self._data_sharding is None:
+            return frames
+        n = self.mesh.shape["data"]
+        B = frames.shape[0]
+        pad = (-B) % n
+        if pad:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((pad,) + frames.shape[1:], frames.dtype)]
+            )
+        return jax.device_put(frames, self._data_sharding)
 
     # --- compiled stages ---------------------------------------------------
 
@@ -220,13 +249,15 @@ class OcrEngine:
         hd, wd = self.det_bucket(h, w)
         resize, inv_scale = self._resize_fn(h, w, hd, wd)
         det = self._detect_fn(hd, wd)
-        canvas = resize(jnp.asarray(frames_u8))
+        canvas = resize(self._shard_frames(jnp.asarray(frames_u8)))
         _, boxes, scores, valid = det(self.det_params, canvas)
-        boxes = np.asarray(boxes) * inv_scale
+        boxes = np.asarray(boxes)[:B] * inv_scale
+        scores = np.asarray(scores)[:B]
+        valid = np.asarray(valid)[:B]
         # clamp to frame
         boxes[..., 0::2] = boxes[..., 0::2].clip(0, w - 1)
         boxes[..., 1::2] = boxes[..., 1::2].clip(0, h - 1)
-        return boxes, np.asarray(scores), np.asarray(valid)
+        return boxes, scores, valid
 
     def predict_batch(
         self, frames_u8: np.ndarray
@@ -236,12 +267,12 @@ class OcrEngine:
         B, h, w, _ = frames_u8.shape
         boxes, det_scores, valid = self.detect_batch(frames_u8)
         crop_rec = self._crop_rec_fn(h, w)
-        ids, mask, rec_scores = crop_rec(
-            self.rec_params, jnp.asarray(frames_u8), jnp.asarray(boxes)
-        )
-        ids = np.asarray(ids)
-        mask = np.asarray(mask)
-        rec_scores = np.asarray(rec_scores)
+        frames_dev = self._shard_frames(jnp.asarray(frames_u8))
+        boxes_dev = self._shard_frames(jnp.asarray(boxes.astype(np.float32)))
+        ids, mask, rec_scores = crop_rec(self.rec_params, frames_dev, boxes_dev)
+        ids = np.asarray(ids)[:B]
+        mask = np.asarray(mask)[:B]
+        rec_scores = np.asarray(rec_scores)[:B]
         out = []
         for b in range(B):
             coords = []
