@@ -34,6 +34,25 @@ def _temp_path(temp_dir: Optional[str], base: str, postfix: str) -> str:
     return base + postfix
 
 
+def _write_shift_plot(events, plot_path: str) -> None:
+    """Diagnostic per-event shift plot (reference gates the same behind
+    --test-shift-plot, backend/sushi/__init__.py:497,691-694)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        log.warning("matplotlib unavailable; skipping shift plot")
+        return
+    plt.clf()
+    plt.ylabel("Shift, seconds")
+    plt.xlabel("Event index")
+    plt.plot([e.shift for e in events], label="final shift")
+    plt.legend(fontsize=5, frameon=False, fancybox=False)
+    plt.savefig(plot_path, dpi=300)
+
+
 def run(args) -> str:
     """Args: an argparse namespace from vse_tpu.sync.cli (same flags as the
     reference CLI). Returns the output script path."""
@@ -170,6 +189,8 @@ def run(args) -> str:
                     events, chapter_times, args.max_ts_duration, args.max_ts_distance,
                     src_kt, dst_kt, src_tc, dst_tc, args.max_kf_distance, args.kf_mode,
                 )
+        if getattr(args, "plot_path", None):
+            _write_shift_plot(events, args.plot_path)
         for e in events:
             e.apply_shift()
         script.save_to_file(dst_script)

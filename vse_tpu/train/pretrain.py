@@ -34,19 +34,24 @@ from vse_tpu.train.losses import ctc_rec_loss, db_loss
 from vse_tpu.train.synth import SynthConfig, TextRenderer
 
 
-def _prefetch(make_batch, depth=4):
+def _prefetch(make_batch, depth=8, workers=6):
+    """Parallel host-side batch generation (PIL rendering is the bottleneck;
+    one renderer thread starves the TPU)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
-    def worker():
+    def worker(wid):
         while not stop.is_set():
-            try:
-                q.put(make_batch(), timeout=1)
-            except queue.Full:
-                continue
+            batch = make_batch(wid)
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=1)
+                    break
+                except queue.Full:
+                    continue
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
+    for wid in range(workers):
+        threading.Thread(target=worker, args=(wid,), daemon=True).start()
     return q, stop
 
 
@@ -75,10 +80,14 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
-    renderer = TextRenderer(charset, cfg, seed=seed)
+    renderers = {}
 
-    def make_batch():
-        b = renderer.rec_batch(batch)
+    def make_batch(wid):
+        # one renderer (and RNG) per prefetch worker — np.random.Generator is
+        # not thread-safe
+        if wid not in renderers:
+            renderers[wid] = TextRenderer(charset, cfg, seed=seed * 100 + wid)
+        b = renderers[wid].rec_batch(batch)
         imgs = ((b["rec_images"].astype(np.float32) / 255.0) - 0.5) / 0.5
         return imgs, b["labels"], b["label_lengths"], b["texts"]
 
@@ -144,10 +153,12 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), mut, opt_state, loss, metrics
 
-    renderer = TextRenderer(charset, cfg, seed=seed)
+    renderers = {}
 
-    def make_batch():
-        b = renderer.det_batch(batch)
+    def make_batch(wid):
+        if wid not in renderers:
+            renderers[wid] = TextRenderer(charset, cfg, seed=seed * 100 + wid)
+        b = renderers[wid].det_batch(batch)
         imgs = b["det_images"].astype(np.float32) / 255.0
         imgs = (imgs - np.array([0.485, 0.456, 0.406], np.float32)) / np.array(
             [0.229, 0.224, 0.225], np.float32

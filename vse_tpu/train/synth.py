@@ -36,7 +36,7 @@ class SynthConfig:
     det_h: int = 256
     det_w: int = 448
     min_font: int = 22
-    max_font: int = 36
+    max_font: int = 32
     shrink_ratio: float = 0.4
     max_label_len: int = 24
 
@@ -52,15 +52,32 @@ class TextRenderer:
         # words built from the charset's renderable chars
         self.alphabet = [c for c in charset.chars if c.strip()]
 
+    # common words give the recognizer realistic glyph sequences; random
+    # chars keep full charset coverage
+    _WORDS = (
+        "the and you that was for are with his they this have from one had "
+        "word what were when your said there use each which she how will "
+        "time look more write go see number way could people than first"
+    ).split()
+
     def random_text(self, min_len=3, max_len=18) -> str:
         n = int(self.rng.integers(min_len, max_len + 1))
-        chars = []
-        for _ in range(n):
-            if chars and chars[-1] != " " and self.rng.random() < 0.15:
-                chars.append(" ")
+        parts = []
+        length = 0
+        while length < n:
+            if self.rng.random() < 0.6:
+                w = str(self.rng.choice(self._WORDS))
+                if self.rng.random() < 0.3:
+                    w = w.capitalize()
             else:
-                chars.append(str(self.rng.choice(self.alphabet)))
-        return "".join(chars).strip()
+                k = int(self.rng.integers(1, 6))
+                w = "".join(
+                    str(self.rng.choice(self.alphabet)) for _ in range(k)
+                ).strip()
+            if w:
+                parts.append(w)
+                length += len(w) + 1
+        return " ".join(parts)[: max_len + 6].strip()
 
     def _bg(self, w: int, h: int) -> np.ndarray:
         """Procedural background: gradient + noise blobs."""
@@ -72,7 +89,11 @@ class TextRenderer:
         return np.clip(img, 0, 255).astype(np.uint8)
 
     def render_line(self, text: Optional[str] = None) -> Tuple[np.ndarray, str]:
-        """One rec training crop [rec_h, rec_w, 3] uint8 + its text."""
+        """One rec training crop [rec_h, rec_w, 3] uint8 + its text.
+
+        The text is measured and trimmed to fit the crop — labels must match
+        exactly what is drawn (clipped glyphs with full labels poison CTC
+        supervision)."""
         cfg = self.cfg
         if text is None:
             text = self.random_text()
@@ -82,10 +103,18 @@ class TextRenderer:
         )
         img = Image.fromarray(self._bg(cfg.rec_w, cfg.rec_h))
         draw = ImageDraw.Draw(img)
+        x = int(self.rng.integers(2, 12))
+        y = int(self.rng.integers(0, 6))
+        # trim until the rendered text fits the crop width/height
+        while text:
+            bbox = draw.textbbox((x, y), text, font=font, stroke_width=2)
+            if bbox[2] <= cfg.rec_w - 2 and bbox[3] <= cfg.rec_h:
+                break
+            text = text[:-1].rstrip()
+        if not text:
+            text = str(self.rng.choice(self.alphabet)).strip() or "a"
         # white or yellow-ish subtitle text with dark outline (typical burn-in)
         fill = (255, 255, 255) if self.rng.random() < 0.7 else (255, 255, 0)
-        x = int(self.rng.integers(2, 12))
-        y = int(self.rng.integers(0, 8))
         draw.text((x, y), text, font=font, fill=fill,
                   stroke_width=2, stroke_fill=(0, 0, 0))
         return np.asarray(img, np.uint8), text
