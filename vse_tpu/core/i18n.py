@@ -1,0 +1,58 @@
+"""Message catalog (i18n).
+
+The reference ships 8 UI locales as .ini files (reference
+backend/interface/*.ini; sections listed in SURVEY.md §2.5) loaded through
+ConfigParser (reference backend/config.py:104-108). The GUI is out of scope
+here, but user-facing pipeline messages (drop reasons, progress, prompts) go
+through the same keyed-catalog pattern so locales can be added as plain
+dictionaries or .ini files.
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from typing import Dict, Optional
+
+# Keys mirror the reference's [Main] message keys (backend/interface/en.ini).
+_EN: Dict[str, str] = {
+    "OcrResult": "[OCR] {0} (confidence {1}%)",
+    "OcrResultWithDropReason": "[OCR-dropped] {0} (confidence {1}%) — {2}",
+    "OcrDropNoIntercetion": "outside the subtitle area",
+    "OcrDropOutOfBoxRate": "overflow {1}% exceeds the allowed {0}%",
+    "OcrDropConfidentLow": "confidence below {0}%",
+    "SubLocation": "subtitle file saved: {0}",
+    "WatchPicture": "review the marked frame",
+    "QuestionDelete": "delete this area's text? [y/n] ",
+    "FinishDelete": "deleted",
+    "FinishWaterMarkFilter": "watermark filtering finished",
+    "CheckSubArea": "check the subtitle area preview:",
+    "DeleteNoSubArea": "delete text outside this band? [y/n] ",
+    "FinishDeleteNoSubArea": "done",
+    "ResumeFrom": "resuming from frame {0} ({1} records restored)",
+    "ExtractionDone": "extraction finished in {0}s -> {1}",
+}
+
+_catalog: Dict[str, str] = dict(_EN)
+_locale = "en"
+
+
+def set_locale(locale: str, ini_path: Optional[str] = None) -> None:
+    """Switch catalogs; unknown keys fall back to English (the reference
+    loads en.ini first, then the selected locale, backend/config.py:22-25)."""
+    global _catalog, _locale
+    _catalog = dict(_EN)
+    _locale = locale
+    if ini_path and os.path.exists(ini_path):
+        cp = configparser.ConfigParser()
+        cp.read(ini_path, encoding="utf-8")
+        if cp.has_section("Main"):
+            _catalog.update(dict(cp["Main"]))
+
+
+def tr(key: str, *args) -> str:
+    msg = _catalog.get(key, key)
+    try:
+        return msg.format(*args)
+    except (IndexError, KeyError):
+        return msg

@@ -127,12 +127,13 @@ class SubtitleExtractor:
     # --- OCR gating ---------------------------------------------------------
 
     def _gate_and_record(
-        self, frame_no: int, dt_box: list, rec_res: list
+        self, frame_no: int, dt_box: list, rec_res: list, frame=None
     ) -> None:
         """Apply the reference's area/score gate and append raw records
         (reference backend/tools/subtitle_ocr.py:20-85)."""
         drop_score = self.config.drop_score / 100.0
         dev_rate = self.config.subtitle_area_deviation_rate
+        kept_before = len(self.raw_records)
         for quad, (text, prob) in zip(dt_box, rec_res):
             xmin = max(quad[0][0], quad[3][0])
             xmax = min(quad[1][0], quad[2][0])
@@ -147,6 +148,35 @@ class SubtitleExtractor:
             self.raw_records.append(
                 RawRecord(frame_no, (int(xmin), int(xmax), int(ymin), int(ymax)), text)
             )
+        if self.config.debug_ocr_loss and frame is not None:
+            self._maybe_dump_ocr_loss(
+                frame, frame_no, self.raw_records[kept_before:]
+            )
+
+    # characters of the CJK-family scripts the loss debugger watches
+    _LOSS_RE = re.compile(r"[一-龥㐀-䶵㄰-㆏가-힣ࠀ-一]")
+
+    def _maybe_dump_ocr_loss(self, frame, frame_no: int, kept) -> None:
+        """Dump an annotated frame when OCR kept text but lost every CJK char
+        (reference backend/tools/subtitle_ocr.py:88-102 `dump_debug_info`,
+        enabled by debugOcrLoss for ch/cht/japan/korean)."""
+        if self.engine.spec.rec_family not in ("ch", "chinese_cht", "japan", "korean"):
+            return
+        line = "".join(r.text for r in kept)
+        if not line or self._LOSS_RE.search(line) is not None:
+            return
+        import cv2
+
+        loss_dir = os.path.join(os.path.dirname(self.video_path), "loss")
+        os.makedirs(loss_dir, exist_ok=True)
+        img = frame[:, :, ::-1].copy()  # RGB -> BGR for cv2
+        if self.sub_area is not None:
+            a = self.sub_area
+            cv2.rectangle(img, (a.xmin, a.ymin), (a.xmax, a.ymax), (255, 0, 0), 2)
+        for r in kept:
+            xmin, xmax, ymin, ymax = r.coord
+            cv2.rectangle(img, (xmin, ymin), (xmax, ymax), (0, 0, 255), 2)
+        cv2.imwrite(os.path.join(loss_dir, f"{str(frame_no).zfill(8)}.png"), img)
 
     def _area_text(self, dt_box: list, rec_res: list) -> str:
         """Concatenated text of boxes fully inside the sub area (reference
@@ -232,7 +262,10 @@ class SubtitleExtractor:
             results = self.engine.predict_batch(batch.frames[:n_valid])
             for i in range(n_valid):
                 dt_box, rec_res = results[i]
-                self._gate_and_record(int(batch.frame_nos[i]), dt_box, rec_res)
+                self._gate_and_record(
+                    int(batch.frame_nos[i]), dt_box, rec_res,
+                    frame=batch.frames[i],
+                )
             done = float(batch.frame_nos[n_valid - 1]) / max(1, self.frame_count)
             self.update_progress(frame_extract=done * 100, ocr=done * 100)
             if manifest is not None:
@@ -302,7 +335,9 @@ class SubtitleExtractor:
             chunk = np.stack(rep_frames[i : i + B])
             results = self.engine.predict_batch(chunk)
             for j, (dt_box, rec_res) in enumerate(results):
-                self._gate_and_record(keys[i + j], dt_box, rec_res)
+                self._gate_and_record(
+                    keys[i + j], dt_box, rec_res, frame=chunk[j]
+                )
             self.update_progress(ocr=min(100.0, (i + B) / max(1, len(rep_frames)) * 100))
 
     def extract_frame_by_det(self) -> None:
