@@ -1,0 +1,50 @@
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from vse_tpu.core.config import Mode, VseConfig
+from vse_tpu.pipeline.multistream import extract_many_fps, interleave_streams
+from vse_tpu.video.decode import FrameStream
+
+from test_extractor_e2e import FakeEngine, write_video
+
+
+@pytest.fixture(scope="module")
+def videos(tmp_path_factory):
+    d = tmp_path_factory.mktemp("multi")
+    a = str(d / "a.mp4")
+    b = str(d / "b.mp4")
+    write_video(a, ["hello world", None])
+    write_video(b, [None, "second line"])
+    return a, b
+
+
+def test_interleave_covers_all_frames(videos):
+    a, b = videos
+    sa = FrameStream(a, batch_size=4, stride=10)
+    sb = FrameStream(b, batch_size=4, stride=10)
+    seen = {0: set(), 1: set()}
+    for batch in interleave_streams([sa, sb], 8):
+        for i in range(8):
+            if batch.valid[i]:
+                seen[int(batch.video_ids[i])].add(int(batch.frame_nos[i]))
+    # both videos: 100 frames, stride 10 -> 10 sampled each
+    assert len(seen[0]) == 10
+    assert len(seen[1]) == 10
+
+
+def test_extract_many_fps_routes_results(videos):
+    a, b = videos
+    # stripe phase encodes the segment index: video a renders text in
+    # segment 0, video b in segment 1
+    engine = FakeEngine(["hello world", "second line"])
+    cfg = VseConfig(language="en", mode=Mode.FAST, frame_batch=8)
+    out = extract_many_fps([a, b], engine, cfg)
+    texts_a = {r[2][0][0] for r in out[a] if r[2]}
+    texts_b = {r[2][0][0] for r in out[b] if r[2]}
+    assert texts_a == {"hello world"}
+    assert texts_b == {"second line"}
+    # frame numbers sorted per video
+    nos = [r[0] for r in out[a]]
+    assert nos == sorted(nos)

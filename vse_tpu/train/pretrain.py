@@ -64,8 +64,11 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         jax.random.PRNGKey(seed), jnp.zeros((1, cfg.rec_h, cfg.rec_w, 3)),
         train=True,
     )
-    tx = optax.adamw(optax.warmup_cosine_decay_schedule(0, lr, 100, steps))
+    tx = optax.adam(optax.warmup_cosine_decay_schedule(0, lr, 100, steps))
     opt_state = tx.init(variables["params"])
+    # difficulty curriculum: clean text first, full augmentation by mid-run
+    # (full difficulty from scratch collapses CTC to blanks)
+    difficulty = {"value": 0.0}
 
     @jax.jit
     def step_fn(params, batch_stats, opt_state, images, labels, lengths):
@@ -87,7 +90,9 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         # not thread-safe
         if wid not in renderers:
             renderers[wid] = TextRenderer(charset, cfg, seed=seed * 100 + wid)
-        b = renderers[wid].rec_batch(batch)
+        r = renderers[wid]
+        r.cfg.difficulty = difficulty["value"]  # SynthConfig is mutable
+        b = r.rec_batch(batch)
         imgs = ((b["rec_images"].astype(np.float32) / 255.0) - 0.5) / 0.5
         return imgs, b["labels"], b["label_lengths"], b["texts"]
 
@@ -100,6 +105,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     t0 = time.time()
     try:
         for i in range(steps):
+            difficulty["value"] = min(1.0, 2.0 * i / max(1, steps))
             imgs, labels, lengths, texts = q.get()
             params, batch_stats, opt_state, loss = step_fn(
                 params, batch_stats, opt_state, jnp.asarray(imgs),

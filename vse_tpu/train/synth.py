@@ -39,6 +39,10 @@ class SynthConfig:
     max_font: int = 32
     shrink_ratio: float = 0.4
     max_label_len: int = 24
+    # 0.0 = clean white-on-dark text; 1.0 = full augmentation (noisy
+    # gradients, outlines, colored text). CTC training needs a curriculum —
+    # full difficulty from scratch collapses to blanks.
+    difficulty: float = 1.0
 
 
 class TextRenderer:
@@ -80,12 +84,14 @@ class TextRenderer:
         return " ".join(parts)[: max_len + 6].strip()
 
     def _bg(self, w: int, h: int) -> np.ndarray:
-        """Procedural background: gradient + noise blobs."""
-        base = self.rng.uniform(20, 160)
-        gx = np.linspace(0, self.rng.uniform(-40, 40), w)
-        gy = np.linspace(0, self.rng.uniform(-40, 40), h)
+        """Procedural background: gradient + noise, scaled by difficulty."""
+        d = self.cfg.difficulty
+        base = self.rng.uniform(10, 30 + 130 * d)
+        amp = 40 * d
+        gx = np.linspace(0, self.rng.uniform(-amp, amp), w)
+        gy = np.linspace(0, self.rng.uniform(-amp, amp), h)
         img = base + gx[None, :] + gy[:, None]
-        img = img[..., None] + self.rng.normal(0, 6, size=(h, w, 3))
+        img = img[..., None] + self.rng.normal(0, 1 + 5 * d, size=(h, w, 3))
         return np.clip(img, 0, 255).astype(np.uint8)
 
     def render_line(self, text: Optional[str] = None) -> Tuple[np.ndarray, str]:
@@ -113,10 +119,14 @@ class TextRenderer:
             text = text[:-1].rstrip()
         if not text:
             text = str(self.rng.choice(self.alphabet)).strip() or "a"
-        # white or yellow-ish subtitle text with dark outline (typical burn-in)
-        fill = (255, 255, 255) if self.rng.random() < 0.7 else (255, 255, 0)
+        # white (or, at high difficulty, yellow) text with dark outline
+        d = self.cfg.difficulty
+        fill = (255, 255, 255)
+        if self.rng.random() < 0.3 * d:
+            fill = (255, 255, 0)
+        stroke = 2 if self.rng.random() < d else 0
         draw.text((x, y), text, font=font, fill=fill,
-                  stroke_width=2, stroke_fill=(0, 0, 0))
+                  stroke_width=stroke, stroke_fill=(0, 0, 0))
         return np.asarray(img, np.uint8), text
 
     def rec_batch(self, batch: int) -> Dict[str, np.ndarray]:
