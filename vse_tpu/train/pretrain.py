@@ -56,7 +56,11 @@ def _prefetch(make_batch, depth=8, workers=6):
 
 
 def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
-              variant: str = "mobile", log_every: int = 50) -> str:
+              variant: str = "mobile", log_every: int = 50,
+              pregen: int = 0) -> str:
+    """`pregen` > 0: render that many batches up front (curriculum-ordered
+    clean->hard) and epoch over them — host PIL rendering is GIL-bound and
+    otherwise starves the TPU (~4.5 s/step live vs ~50 ms cached)."""
     charset = get_charset(language)
     cfg = SynthConfig()
     rec = CRNNRecognizer(vocab_size=charset.vocab_size, variant=variant)
@@ -96,7 +100,18 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         imgs = ((b["rec_images"].astype(np.float32) / 255.0) - 0.5) / 0.5
         return imgs, b["labels"], b["label_lengths"], b["texts"]
 
-    q, stop = _prefetch(make_batch)
+    cache = None
+    if pregen > 0:
+        print(f"pre-rendering {pregen} batches x {batch}...")
+        cache = []
+        t_gen = time.time()
+        for bi in range(pregen):
+            difficulty["value"] = min(1.0, 2.0 * bi / max(1, pregen))
+            cache.append(make_batch(0))
+        print(f"dataset ready in {time.time() - t_gen:.0f}s")
+        q = stop = None
+    else:
+        q, stop = _prefetch(make_batch)
     params = variables["params"]
     batch_stats = variables["batch_stats"]
     eval_fn = jax.jit(
@@ -105,8 +120,11 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     t0 = time.time()
     try:
         for i in range(steps):
-            difficulty["value"] = min(1.0, 2.0 * i / max(1, steps))
-            imgs, labels, lengths, texts = q.get()
+            if cache is not None:
+                imgs, labels, lengths, texts = cache[i % len(cache)]
+            else:
+                difficulty["value"] = min(1.0, 2.0 * i / max(1, steps))
+                imgs, labels, lengths, texts = q.get()
             params, batch_stats, opt_state, loss = step_fn(
                 params, batch_stats, opt_state, jnp.asarray(imgs),
                 jnp.asarray(labels), jnp.asarray(lengths),
@@ -122,7 +140,8 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
                     f"pred={preds[0]!r} gt={texts[0]!r}"
                 )
     finally:
-        stop.set()
+        if stop is not None:
+            stop.set()
     path = f"{models_root()}/rec_{charset.name}_{variant}"
     save_params({"params": params, "batch_stats": batch_stats}, path)
     print(f"saved {path}")
@@ -213,6 +232,8 @@ def main():
     pr.add_argument("--lr", type=float, default=1e-3)
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--variant", default="mobile", choices=["mobile", "server"])
+    pr.add_argument("--pregen", type=int, default=0,
+                    help="pre-render N batches and epoch over them")
     pd = sub.add_parser("det")
     pd.add_argument("--steps", type=int, default=1500)
     pd.add_argument("--batch", type=int, default=16)
@@ -222,7 +243,7 @@ def main():
     args = ap.parse_args()
     if args.what == "rec":
         train_rec(args.language, args.steps, args.batch, args.lr, args.seed,
-                  args.variant)
+                  args.variant, pregen=args.pregen)
     else:
         train_det(args.steps, args.batch, args.lr, args.seed, args.variant)
 
