@@ -121,7 +121,12 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     try:
         for i in range(steps):
             if cache is not None:
-                imgs, labels, lengths, texts = cache[i % len(cache)]
+                # curriculum over the cache: start on a small clean prefix
+                # (batches are rendered clean->hard), widen to the full set
+                # by 60% of training
+                frac = min(1.0, i / max(1, steps * 0.6))
+                window = max(32, int(len(cache) * frac))
+                imgs, labels, lengths, texts = cache[i % min(window, len(cache))]
             else:
                 difficulty["value"] = min(1.0, 2.0 * i / max(1, steps))
                 imgs, labels, lengths, texts = q.get()
