@@ -97,6 +97,18 @@ class Charset:
                 out.append(self.chars[i - 1])
         return "".join(out)
 
+    def without_space(self) -> "Charset":
+        """Space-class-free variant (CTC heads trained from scratch converge
+        far faster without a gap-supervised space class; the word-segmentation
+        reformat stage re-splits, reference backend/tools/reformat.py)."""
+        if not self.use_space_char and " " not in self.chars:
+            return self
+        return Charset(
+            name=self.name,
+            chars=tuple(c for c in self.chars if c != " "),
+            use_space_char=False,
+        )
+
     @classmethod
     def from_file(cls, name: str, path: str, use_space_char: bool = True) -> "Charset":
         """Load a one-character-per-line dict file (PaddleOCR format)."""

@@ -70,13 +70,32 @@ def resolve(language: str, mode: Mode, accelerated: bool = True) -> ModelSpec:
     )
 
 
-def save_params(params: Any, path: str) -> None:
+def save_params(params: Any, path: str, meta: Optional[dict] = None) -> None:
+    import json
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, params, force=True)
     ckptr.wait_until_finished()
+    if meta is not None:
+        with open(os.path.join(path, "vse_meta.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+
+def load_meta(path: str) -> Optional[dict]:
+    """Sidecar metadata for a checkpoint (charset options etc.)."""
+    import json
+
+    p = os.path.join(os.path.abspath(path), "vse_meta.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p, "r", encoding="utf-8") as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def load_params(path: str, like: Optional[Any] = None) -> Any:

@@ -101,6 +101,13 @@ class OcrEngine:
         self.mode = mode
         self.spec: ModelSpec = resolve(language, mode, accelerated)
         self.charset = charset or get_charset(language)
+        # a trained rec checkpoint records its charset options — the head's
+        # class count/order is part of the weights
+        from vse_tpu.core.registry import load_meta
+
+        rec_meta = load_meta(self.spec.rec_ckpt)
+        if rec_meta and not rec_meta.get("use_space_char", True):
+            self.charset = self.charset.without_space()
         self.rec_model = CRNNRecognizer(
             vocab_size=self.charset.vocab_size, variant=self.spec.rec_variant
         )

@@ -15,6 +15,7 @@ Checkpoints land in the registry layout (vse_tpu/core/registry.py):
 from __future__ import annotations
 
 import argparse
+import os
 import queue
 import threading
 import time
@@ -57,11 +58,19 @@ def _prefetch(make_batch, depth=8, workers=6):
 
 def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
               variant: str = "mobile", log_every: int = 50,
-              pregen: int = 0) -> str:
+              pregen: int = 0, use_space: bool = False) -> str:
     """`pregen` > 0: render that many batches up front (curriculum-ordered
     clean->hard) and epoch over them — host PIL rendering is GIL-bound and
-    otherwise starves the TPU (~4.5 s/step live vs ~50 ms cached)."""
+    otherwise starves the TPU (~4.5 s/step live vs ~50 ms cached).
+
+    `use_space=False` (default): drop the space class — a gap-supervised
+    space blocks CTC convergence from scratch (measured: spaced-label overfit
+    plateaus at loss 33 where wordwise reaches 9); the word-segmentation
+    reformat re-splits at output time. The choice is recorded in the
+    checkpoint's vse_meta.json so the engine builds the matching charset."""
     charset = get_charset(language)
+    if not use_space:
+        charset = charset.without_space()
     cfg = SynthConfig()
     rec = CRNNRecognizer(vocab_size=charset.vocab_size, variant=variant)
     variables = jax.jit(rec.init, static_argnames=("train",))(
@@ -102,13 +111,38 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
 
     cache = None
     if pregen > 0:
-        print(f"pre-rendering {pregen} batches x {batch}...")
+        ds_path = f"/tmp/vse_rec_ds_{language}_{pregen}x{batch}.npz"
+        if os.path.exists(ds_path):
+            print(f"loading cached dataset {ds_path}")
+            z = np.load(ds_path, allow_pickle=True)
+            raw_imgs, all_texts = z["images"], z["texts"]
+        else:
+            print(f"pre-rendering {pregen} batches x {batch}...")
+            t_gen = time.time()
+            raw_list, all_texts = [], []
+            r = TextRenderer(charset, cfg, seed=seed)
+            for bi in range(pregen * batch):
+                r.cfg.difficulty = min(1.0, 2.0 * bi / max(1, pregen * batch))
+                img, text = r.render_line()
+                raw_list.append(img)
+                all_texts.append(text)
+            raw_imgs = np.stack(raw_list)
+            np.savez_compressed(ds_path, images=raw_imgs,
+                                texts=np.array(all_texts, object))
+            print(f"dataset ready in {time.time() - t_gen:.0f}s -> {ds_path}")
+        # encode labels with the CURRENT charset (cache stores raw text)
         cache = []
-        t_gen = time.time()
         for bi in range(pregen):
-            difficulty["value"] = min(1.0, 2.0 * bi / max(1, pregen))
-            cache.append(make_batch(0))
-        print(f"dataset ready in {time.time() - t_gen:.0f}s")
+            sl = slice(bi * batch, (bi + 1) * batch)
+            imgs = ((raw_imgs[sl].astype(np.float32) / 255.0) - 0.5) / 0.5
+            texts = [str(t) for t in all_texts[sl]]
+            labels = np.zeros((batch, cfg.max_label_len), np.int32)
+            lengths = np.zeros((batch,), np.int32)
+            for k, t in enumerate(texts):
+                ids = charset.encode(t)[: cfg.max_label_len] or [1]
+                labels[k, : len(ids)] = ids
+                lengths[k] = len(ids)
+            cache.append((imgs, labels, lengths, texts))
         q = stop = None
     else:
         q, stop = _prefetch(make_batch)
@@ -148,7 +182,16 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         if stop is not None:
             stop.set()
     path = f"{models_root()}/rec_{charset.name}_{variant}"
-    save_params({"params": params, "batch_stats": batch_stats}, path)
+    save_params(
+        {"params": params, "batch_stats": batch_stats},
+        path,
+        meta={
+            "language": language,
+            "use_space_char": charset.use_space_char,
+            "vocab_size": charset.vocab_size,
+            "variant": variant,
+        },
+    )
     print(f"saved {path}")
     return path
 
@@ -239,6 +282,8 @@ def main():
     pr.add_argument("--variant", default="mobile", choices=["mobile", "server"])
     pr.add_argument("--pregen", type=int, default=0,
                     help="pre-render N batches and epoch over them")
+    pr.add_argument("--use-space", action="store_true", dest="use_space",
+                    help="keep the space class (slower convergence)")
     pd = sub.add_parser("det")
     pd.add_argument("--steps", type=int, default=1500)
     pd.add_argument("--batch", type=int, default=16)
@@ -248,7 +293,7 @@ def main():
     args = ap.parse_args()
     if args.what == "rec":
         train_rec(args.language, args.steps, args.batch, args.lr, args.seed,
-                  args.variant, pregen=args.pregen)
+                  args.variant, pregen=args.pregen, use_space=args.use_space)
     else:
         train_det(args.steps, args.batch, args.lr, args.seed, args.variant)
 
