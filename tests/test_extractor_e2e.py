@@ -152,3 +152,17 @@ def test_area_gate_drops_disjoint_boxes(video, tmp_path):
     ex.subtitle_output_path = str(tmp_path / "out.srt")
     path = ex.run()
     assert len(SrtFile.open(path)) == 0
+
+
+def test_ab_section_limits_frame_range(video, tmp_path):
+    from vse_tpu.core.subtitle_area import ABSection, SubtitleArea
+
+    # area bound to frames 90.. (the "second line" segment starts ~frame 100)
+    area = SubtitleArea(ymin=190, ymax=239, xmin=0, xmax=319,
+                        ab_section=ABSection(90, -1))
+    ex = make_extractor(video, Mode.ACCURATE, sub_area=area)
+    ex.subtitle_output_path = str(tmp_path / "out.srt")
+    path = ex.run()
+    texts = [s.text for s in SrtFile.open(path)]
+    assert "hello world" not in texts  # lives in frames < 90
+    assert "second line" in texts

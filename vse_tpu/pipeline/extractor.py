@@ -134,6 +134,15 @@ class SubtitleExtractor:
         drop_score = self.config.drop_score / 100.0
         dev_rate = self.config.subtitle_area_deviation_rate
         kept_before = len(self.raw_records)
+        # AB-section: the area only applies inside its bound frame range
+        # (reference ui/component/video_display_component.py:894-916 binds
+        # selections to frame ranges; extractor applies them per task)
+        if (
+            self.sub_area is not None
+            and self.sub_area.ab_section is not None
+            and not self.sub_area.ab_section.contains(frame_no)
+        ):
+            return
         for quad, (text, prob) in zip(dt_box, rec_res):
             xmin = max(quad[0][0], quad[3][0])
             xmax = min(quad[1][0], quad[2][0])
