@@ -228,3 +228,36 @@ Comment: 0,0:00:03.00,0:00:04.00,Default,note
     back = AssScript.from_file(str(out))
     assert back.events[0].start == pytest.approx(2.0)
     assert back.events[0].text == "hello"
+
+
+def test_regression_harness_runner(audio_pair, tmp_path):
+    """Drive the JSON harness end-to-end (reference regression-tests.py
+    pattern: exact expected_errors)."""
+    import json
+    import subprocess
+    import sys
+
+    src_path, dst_path = audio_pair
+    script = str(tmp_path / "in.srt")
+    ideal = str(tmp_path / "ideal.srt")
+    cues = [(2.0 + 3 * i, 4.0 + 3 * i, f"line {i}") for i in range(6)]
+    make_srt(script, cues)
+    make_srt(ideal, [(s + 1.7, e + 1.7, t) for s, e, t in cues])
+    cfg = {
+        "basepath": str(tmp_path),
+        "tests": [{
+            "name": "const-shift",
+            "src": src_path, "dst": dst_path,
+            "script": "in.srt", "ideal": "ideal.srt",
+            "fps": 23.976, "expected_errors": 0,
+        }],
+    }
+    cfg_path = tmp_path / "tests.json"
+    cfg_path.write_text(json.dumps(cfg))
+    r = subprocess.run(
+        [sys.executable, "tools/sync_regression.py", str(cfg_path)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout

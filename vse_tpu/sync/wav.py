@@ -168,9 +168,11 @@ class WavStream:
         finally:
             stream.close()
         if use_device_matcher is None:
-            import jax
-
-            use_device_matcher = jax.default_backend() == "tpu"
+            # opt-in: per-group matches are single small FFTs — host numpy is
+            # latency-optimal; the device matcher pays a dispatch (and, on a
+            # shared/remote TPU, a compile per FFT bucket) per call. Batched
+            # device matching is the win, not per-call offload.
+            use_device_matcher = os.environ.get("VSE_SYNC_DEVICE", "0") == "1"
         self._match = (
             match_template_device if use_device_matcher else match_template_numpy
         )
