@@ -88,10 +88,16 @@ class SubtitleExtractor:
     @property
     def engine(self) -> OcrEngine:
         if self._engine is None:
+            from vse_tpu.core.accelerator import Accelerator
+
             self._engine = OcrEngine(
                 language=self.config.language,
                 mode=self.config.mode,
                 config=self.config,
+                accelerated=(
+                    self.config.hardware_acceleration
+                    and Accelerator.instance().has_accelerator()
+                ),
             )
         return self._engine
 
