@@ -87,3 +87,21 @@ def test_detect_batch_boxes_in_bounds(engine):
     assert boxes.shape == (1, 4, 4)
     assert (boxes[..., 0] <= 95).all() and (boxes[..., 2] <= 95).all()
     assert (boxes[..., 1] <= 63).all() and (boxes[..., 3] <= 63).all()
+
+
+def test_beam_decode_path(engine):
+    from vse_tpu.pipeline.ocr_engine import OcrEngine
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(64, 96, 3), dtype=np.uint8)
+    beam = OcrEngine(
+        language="en", mode=Mode.FAST, config=engine.config,
+        det_params=engine.det_params, rec_params=engine.rec_params,
+        decode="beam", beam_width=4,
+    )
+    beam.det_model = engine.det_model
+    dt_box, rec_res = beam.predict(img)
+    assert len(dt_box) == len(rec_res)
+    for text, prob in rec_res:
+        assert isinstance(text, str)
+        assert 0.0 <= prob <= 1.0

@@ -91,11 +91,16 @@ class OcrEngine:
         accelerated: bool = True,
         seed: int = 0,
         mesh=None,
+        decode: str = "greedy",
+        beam_width: int = 8,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — frame
         batches shard across chips (each chip OCRs its own frames; params
         replicate; no collectives on the hot path — SURVEY.md §2.2 P3/P5
-        TPU equivalents). None = single-device."""
+        TPU equivalents). None = single-device.
+
+        `decode`: 'greedy' (on-device, default) or 'beam' (host prefix beam
+        over device log-probs — accuracy-sensitive accurate-mode option)."""
         self.config = config or VseConfig(language=language, mode=mode)
         self.language = language
         self.mode = mode
@@ -134,6 +139,8 @@ class OcrEngine:
                 self.rec_model, dummy_rec, self.spec.rec_ckpt, seed + 1
             )
         self._fn_cache: dict = {}
+        self.decode = decode
+        self.beam_width = beam_width
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -247,6 +254,32 @@ class OcrEngine:
             self._fn_cache[key] = run
         return self._fn_cache[key]
 
+    def _crop_logits_fn(self, h: int, w: int):
+        """Crop + rec forward returning log-probs (beam-decode path)."""
+        key = ("crop_logits", h, w)
+        if key not in self._fn_cache:
+
+            @jax.jit
+            def run(rec_params, frames_u8, boxes):
+                def per_frame(frame, fboxes):
+                    f = frame.astype(jnp.float32)
+                    return jax.vmap(
+                        lambda b: crop_axis_aligned_matmul(
+                            f, b, self.rec_h, self.rec_w
+                        )
+                    )(fboxes)
+
+                crops = jax.vmap(per_frame)(frames_u8, boxes)
+                B, K = crops.shape[0], crops.shape[1]
+                crops = crops.reshape((B * K,) + crops.shape[2:])
+                crops = (crops / 255.0 - 0.5) / 0.5
+                logits = self.rec_model.apply(rec_params, crops)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                return logp.reshape(B, K, logp.shape[1], logp.shape[2])
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key]
+
     # --- public API ----------------------------------------------------------
 
     def detect_batch(self, frames_u8: np.ndarray):
@@ -273,13 +306,32 @@ class OcrEngine:
         in the reference's format."""
         B, h, w, _ = frames_u8.shape
         boxes, det_scores, valid = self.detect_batch(frames_u8)
-        crop_rec = self._crop_rec_fn(h, w)
         frames_dev = self._shard_frames(jnp.asarray(frames_u8))
         boxes_dev = self._shard_frames(jnp.asarray(boxes.astype(np.float32)))
-        ids, mask, rec_scores = crop_rec(self.rec_params, frames_dev, boxes_dev)
-        ids = np.asarray(ids)[:B]
-        mask = np.asarray(mask)[:B]
-        rec_scores = np.asarray(rec_scores)[:B]
+        if self.decode == "beam":
+            from vse_tpu.ops.ctc import ctc_prefix_beam_decode
+
+            logp = np.asarray(
+                self._crop_logits_fn(h, w)(self.rec_params, frames_dev, boxes_dev)
+            )[:B]
+            texts = {}
+            beam_scores = {}
+            for b in range(B):
+                for k in range(self.max_boxes):
+                    if valid[b, k]:
+                        ids_bk, score = ctc_prefix_beam_decode(
+                            logp[b, k], beam_width=self.beam_width
+                        )
+                        texts[(b, k)] = self.charset.decode_ids(ids_bk)
+                        beam_scores[(b, k)] = score
+        else:
+            crop_rec = self._crop_rec_fn(h, w)
+            ids, mask, rec_scores = crop_rec(
+                self.rec_params, frames_dev, boxes_dev
+            )
+            ids = np.asarray(ids)[:B]
+            mask = np.asarray(mask)[:B]
+            rec_scores = np.asarray(rec_scores)[:B]
         out = []
         for b in range(B):
             coords = []
@@ -288,11 +340,16 @@ class OcrEngine:
                 if not valid[b, k]:
                     continue
                 x0, y0, x1, y1 = boxes[b, k]
-                text = self.charset.decode_ids(
-                    [int(i) for i, m in zip(ids[b, k], mask[b, k]) if m]
-                )
+                if self.decode == "beam":
+                    text = texts[(b, k)]
+                    score = beam_scores[(b, k)]
+                else:
+                    text = self.charset.decode_ids(
+                        [int(i) for i, m in zip(ids[b, k], mask[b, k]) if m]
+                    )
+                    score = float(rec_scores[b, k])
                 coords.append((int(x0), int(x1), int(y0), int(y1)))
-                items.append((text, float(rec_scores[b, k])))
+                items.append((text, score))
             coords, items = sort_into_lines(coords, items)
             dt_box = [
                 [(c[0], c[2]), (c[1], c[2]), (c[1], c[3]), (c[0], c[3])]
