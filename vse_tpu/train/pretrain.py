@@ -71,7 +71,8 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     charset = get_charset(language)
     if not use_space:
         charset = charset.without_space()
-    cfg = SynthConfig()
+    # subtitle-domain profile: real words with burned-in outlines
+    cfg = SynthConfig(words_only=True, fixed_stroke=2)
     rec = CRNNRecognizer(vocab_size=charset.vocab_size, variant=variant)
     variables = jax.jit(rec.init, static_argnames=("train",))(
         jax.random.PRNGKey(seed), jnp.zeros((1, cfg.rec_h, cfg.rec_w, 3)),
@@ -111,7 +112,10 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
 
     cache = None
     if pregen > 0:
-        ds_path = f"/tmp/vse_rec_ds_{language}_{pregen}x{batch}.npz"
+        ds_path = (
+            f"/tmp/vse_rec_ds_{language}_{pregen}x{batch}"
+            f"_w{int(cfg.words_only)}s{cfg.fixed_stroke}.npz"
+        )
         if os.path.exists(ds_path):
             print(f"loading cached dataset {ds_path}")
             z = np.load(ds_path, allow_pickle=True)

@@ -43,6 +43,11 @@ class SynthConfig:
     # gradients, outlines, colored text). CTC training needs a curriculum —
     # full difficulty from scratch collapses to blanks.
     difficulty: float = 1.0
+    # words-only text (no random character soup) — matches the subtitle
+    # domain and converges much faster from scratch
+    words_only: bool = False
+    # force this stroke width when >= 0 (subtitle burn-ins have outlines)
+    fixed_stroke: int = -1
 
 
 class TextRenderer:
@@ -56,20 +61,18 @@ class TextRenderer:
         # words built from the charset's renderable chars
         self.alphabet = [c for c in charset.chars if c.strip()]
 
-    # common words give the recognizer realistic glyph sequences; random
-    # chars keep full charset coverage
-    _WORDS = (
-        "the and you that was for are with his they this have from one had "
-        "word what were when your said there use each which she how will "
-        "time look more write go see number way could people than first"
-    ).split()
+    # common words give the recognizer realistic glyph sequences (the word
+    # segmenter's frequency list, ~2k words); random chars keep full charset
+    # coverage
+    from vse_tpu.post.wordseg import _COMMON as _WORDS  # noqa: N815
 
     def random_text(self, min_len=3, max_len=18) -> str:
         n = int(self.rng.integers(min_len, max_len + 1))
+        word_p = 1.0 if self.cfg.words_only else 0.6
         parts = []
         length = 0
         while length < n:
-            if self.rng.random() < 0.6:
+            if self.rng.random() < word_p:
                 w = str(self.rng.choice(self._WORDS))
                 if self.rng.random() < 0.3:
                     w = w.capitalize()
@@ -124,7 +127,10 @@ class TextRenderer:
         fill = (255, 255, 255)
         if self.rng.random() < 0.3 * d:
             fill = (255, 255, 0)
-        stroke = 2 if self.rng.random() < d else 0
+        if self.cfg.fixed_stroke >= 0:
+            stroke = self.cfg.fixed_stroke
+        else:
+            stroke = 2 if self.rng.random() < d else 0
         draw.text((x, y), text, font=font, fill=fill,
                   stroke_width=stroke, stroke_fill=(0, 0, 0))
         return np.asarray(img, np.uint8), text
