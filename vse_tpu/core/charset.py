@@ -61,11 +61,18 @@ def script_family(language: str) -> str:
 
 @dataclass(frozen=True)
 class Charset:
-    """Immutable charset with CTC blank at index 0."""
+    """Immutable charset with CTC blank at index 0.
+
+    `fold_case=True` lowercases text at encode time (the charset must then
+    contain only lowercase letters): case twins like c/C, s/S, o/O differ
+    only in glyph size and split CTC probability mass — folding them is the
+    difference between convergence and blank collapse when training heads
+    from scratch."""
 
     name: str
     chars: Tuple[str, ...]
     use_space_char: bool = True
+    fold_case: bool = False
 
     def __post_init__(self):
         chars = tuple(self.chars)
@@ -86,6 +93,8 @@ class Charset:
 
     def encode(self, text: str) -> List[int]:
         """Text -> label ids (unknown chars dropped, like PP-OCR's encoder)."""
+        if self.fold_case:
+            text = text.lower()
         idx = self._index  # type: ignore[attr-defined]
         return [idx[c] for c in text if c in idx]
 
@@ -107,6 +116,21 @@ class Charset:
             name=self.name,
             chars=tuple(c for c in self.chars if c != " "),
             use_space_char=False,
+            fold_case=self.fold_case,
+        )
+
+    def folded(self) -> "Charset":
+        """Case-folded variant: lowercase letters only, encode() lowercases."""
+        seen = []
+        for c in self.chars:
+            lc = c.lower()
+            if lc not in seen:
+                seen.append(lc)
+        return Charset(
+            name=self.name + "_folded",
+            chars=tuple(seen),
+            use_space_char=self.use_space_char,
+            fold_case=True,
         )
 
     @classmethod

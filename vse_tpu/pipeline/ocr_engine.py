@@ -111,8 +111,11 @@ class OcrEngine:
         from vse_tpu.core.registry import load_meta
 
         rec_meta = load_meta(self.spec.rec_ckpt)
-        if rec_meta and not rec_meta.get("use_space_char", True):
-            self.charset = self.charset.without_space()
+        if rec_meta:
+            if rec_meta.get("fold_case", False):
+                self.charset = self.charset.folded()
+            if not rec_meta.get("use_space_char", True):
+                self.charset = self.charset.without_space()
         self.rec_model = CRNNRecognizer(
             vocab_size=self.charset.vocab_size, variant=self.spec.rec_variant
         )

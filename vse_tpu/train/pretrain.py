@@ -58,7 +58,8 @@ def _prefetch(make_batch, depth=8, workers=6):
 
 def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
               variant: str = "mobile", log_every: int = 50,
-              pregen: int = 0, use_space: bool = False) -> str:
+              pregen: int = 0, use_space: bool = False,
+              fold_case: bool = True) -> str:
     """`pregen` > 0: render that many batches up front (curriculum-ordered
     clean->hard) and epoch over them — host PIL rendering is GIL-bound and
     otherwise starves the TPU (~4.5 s/step live vs ~50 ms cached).
@@ -69,11 +70,18 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     reformat re-splits at output time. The choice is recorded in the
     checkpoint's vse_meta.json so the engine builds the matching charset."""
     charset = get_charset(language)
+    if fold_case and charset.name in ("en", "latin", "cyrillic", "el"):
+        charset = charset.folded()
     if not use_space:
         charset = charset.without_space()
     # subtitle-domain profile: real words with burned-in outlines
     cfg = SynthConfig(words_only=True, fixed_stroke=2)
-    rec = CRNNRecognizer(vocab_size=charset.vocab_size, variant=variant)
+    # fp32 activations for training: bf16 stalls CTC convergence (measured:
+    # fresh-data loss frozen at ~17.6 in bf16 vs steadily dropping in fp32);
+    # inference still runs the trained fp32 params through the bf16 graph
+    rec = CRNNRecognizer(
+        vocab_size=charset.vocab_size, variant=variant, dtype=jnp.float32
+    )
     variables = jax.jit(rec.init, static_argnames=("train",))(
         jax.random.PRNGKey(seed), jnp.zeros((1, cfg.rec_h, cfg.rec_w, 3)),
         train=True,
@@ -192,6 +200,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         meta={
             "language": language,
             "use_space_char": charset.use_space_char,
+            "fold_case": charset.fold_case,
             "vocab_size": charset.vocab_size,
             "variant": variant,
         },
@@ -205,7 +214,7 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
               det_h: int = 256, det_w: int = 448) -> str:
     charset = get_charset("en")
     cfg = SynthConfig(det_h=det_h, det_w=det_w)
-    det = DBDetector(variant=variant, train_outputs=True)
+    det = DBDetector(variant=variant, train_outputs=True, dtype=jnp.float32)
     variables = det.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, det_h, det_w, 3)), train=True
     )
