@@ -95,3 +95,15 @@ def test_script_family_mapping():
     assert script_family("hi") == "devanagari"
     assert script_family("ch") == "ch"
     assert script_family("japan") == "japan"
+
+
+def test_charset_folded_and_without_space():
+    cs = get_charset("en")
+    f = cs.folded()
+    assert f.fold_case
+    assert all(c == c.lower() for c in f.chars)
+    assert f.decode_ids(f.encode("Hello World")) == "hello world"
+    ns = f.without_space()
+    assert " " not in ns.chars
+    assert ns.fold_case  # preserved through without_space
+    assert ns.decode_ids(ns.encode("Hello World")) == "helloworld"
