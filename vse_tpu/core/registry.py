@@ -122,19 +122,24 @@ def load_det(spec: "ModelSpec", example_input, seed: int = 0):
 
     from vse_tpu.models.db_detector import DBDetector
 
-    if spec.det_variant == "mobile":
-        npz_path = os.path.join(models_root(), "ppocr_v3_det_mobile.npz")
-        if os.path.exists(npz_path):
-            from vse_tpu.models.ppocr_det import (
-                PPOCRv3DetMobile,
-                load_ppocr_det_weights,
-            )
+    npz_path = os.path.join(models_root(), "ppocr_v3_det_mobile.npz")
 
-            weights = dict(np.load(npz_path))
-            model = PPOCRv3DetMobile()
-            return model, load_ppocr_det_weights(weights), True
+    def mobile_compat():
+        from vse_tpu.models.ppocr_det import (
+            PPOCRv3DetMobile,
+            load_ppocr_det_weights,
+        )
+
+        weights = dict(np.load(npz_path))
+        return PPOCRv3DetMobile(), load_ppocr_det_weights(weights), True
+
+    if spec.det_variant == "mobile" and os.path.exists(npz_path):
+        return mobile_compat()
     model = DBDetector(variant=spec.det_variant)
     variables, loaded = init_or_load(model, example_input, spec.det_ckpt, seed)
+    if not loaded and os.path.exists(npz_path):
+        # no trained server det yet: real mobile weights beat random init
+        return mobile_compat()
     return model, variables, loaded
 
 
