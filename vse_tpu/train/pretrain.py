@@ -86,7 +86,12 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         jax.random.PRNGKey(seed), jnp.zeros((1, cfg.rec_h, cfg.rec_w, 3)),
         train=True,
     )
-    tx = optax.adam(optax.warmup_cosine_decay_schedule(0, lr, 100, steps))
+    # global-norm clipping: unclipped adam on hard CTC batches blows up
+    # mid-run (observed at ~step 3700: loss 1.3 -> 35, blank re-collapse)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.warmup_cosine_decay_schedule(0, lr, 100, steps)),
+    )
     opt_state = tx.init(variables["params"])
     # difficulty curriculum: clean text first, full augmentation by mid-run
     # (full difficulty from scratch collapses CTC to blanks)
