@@ -83,3 +83,34 @@ def test_mesh_8_devices():
     assert mesh.devices.size == 8  # conftest forces 8 CPU devices
     sh = frame_sharding(mesh)
     assert sh.mesh is mesh
+
+
+def test_rec_ckpt_path_matches_resolve_and_trainer():
+    """ADVICE r1 (high): the trainer once saved latin-script heads under a
+    '<family>_folded' path the registry never looked up. The canonical path
+    helper is shared; folded()/without_space() keep the family name."""
+    from vse_tpu.core.charset import get_charset
+    from vse_tpu.core.config import Mode
+    from vse_tpu.core.registry import rec_ckpt_path, resolve
+
+    for lang in ("en", "ch", "de", "ru", "ar", "hi", "japan"):
+        spec = resolve(lang, Mode.FAST)
+        assert spec.rec_ckpt == rec_ckpt_path(lang, spec.rec_variant)
+        # the trainer derives its charset via fold/space transforms; the name
+        # (and hence any path built from it) must stay the family name
+        cs = get_charset(lang).folded().without_space()
+        assert cs.name == get_charset(lang).name
+
+
+def test_mobile_only_rec_families():
+    """The reference pins latin/arabic/cyrillic/devanagari rec heads to the
+    fast (mobile) model in every mode (reference
+    backend/tools/paddle_model_config.py:84-91)."""
+    from vse_tpu.core.config import Mode
+    from vse_tpu.core.registry import resolve
+
+    for lang in ("de", "ru", "ar", "hi"):
+        for mode in (Mode.FAST, Mode.AUTO, Mode.ACCURATE):
+            assert resolve(lang, mode).rec_variant == "mobile"
+    # CJK/en families still get server heads in accurate mode
+    assert resolve("ch", Mode.ACCURATE).rec_variant == "server"

@@ -166,3 +166,24 @@ def test_ab_section_limits_frame_range(video, tmp_path):
     texts = [s.text for s in SrtFile.open(path)]
     assert "hello world" not in texts  # lives in frames < 90
     assert "second line" in texts
+
+
+def test_ab_section_keyframe_mode_uses_real_frame_numbers(video, tmp_path):
+    """Keyframe mode records under the quirky timeline key int(ms/fps); the
+    AB-section gate must use the REAL span frame number (ADVICE r1: at 25fps
+    frame 250 arrives as key 400 — gating on the key includes/excludes the
+    wrong spans)."""
+    from vse_tpu.core.subtitle_area import ABSection, SubtitleArea
+
+    # frames 90.. -> only "second line" (starts ~frame 100). With the old
+    # key-based gating, keys are int(ms/fps)=frame*40/25=frame*1.6, so BOTH
+    # segments' keys (0*1.6=0 and 100*1.6=160) land such that segment 1 is
+    # wrongly dropped and segment 0's key 0 is dropped too.
+    area = SubtitleArea(ymin=190, ymax=239, xmin=0, xmax=319,
+                        ab_section=ABSection(90, -1))
+    ex = make_extractor(video, Mode.FAST, sub_area=area)  # keyframe strategy
+    ex.subtitle_output_path = str(tmp_path / "out.srt")
+    path = ex.run()
+    texts = [s.text for s in SrtFile.open(path) if s.text]
+    assert "hello world" not in texts
+    assert "second line" in texts

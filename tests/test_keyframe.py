@@ -77,25 +77,8 @@ def test_pallas_interpret_matches_jnp():
     frames = synth_frames(T=4, H=32, W=256)
     p = ScanParams()
     ref = np.asarray(frame_stats_jnp(jnp.asarray(frames), p))
-    with jax.disable_jit():
-        from jax.experimental import pallas  # noqa: F401
-    # interpret mode runs the pallas kernel on CPU
-    from functools import partial
-
-    import jax.experimental.pallas as pl
-    from vse_tpu.kernels import keyframe as kf
-
-    out = pl.pallas_call(
-        partial(kf._keyframe_kernel, p=p),
-        grid=(4,),
-        in_specs=[
-            pl.BlockSpec((1, 32, 256), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 32, 256), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((4, 4), jnp.float32),
-        interpret=True,
-    )(jnp.asarray(frames), jnp.concatenate([frames[:1], frames[:-1]], axis=0))
+    # interpret mode runs the production pallas_call wiring on CPU
+    out = frame_stats_pallas(jnp.asarray(frames), p, interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
 
 

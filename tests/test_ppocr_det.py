@@ -72,3 +72,35 @@ def test_real_weights_detect_rendered_text(loaded):
                 found += 1
     assert total >= 4
     assert found / total >= 0.8  # real weights must actually detect text
+
+
+def test_tconv_weight_mapping_matches_paddle_semantics():
+    """paddle conv2d_transpose scatters the kernel UN-flipped; flax
+    ConvTranspose correlates. _tconv_w must flip spatial axes so converted
+    deconv weights reproduce the paddle output (ADVICE r1: without the flip
+    every 2x2 upsample block is 180-degree rotated)."""
+    import flax.linen as nn
+
+    from vse_tpu.models.ppocr_det import _tconv_w
+
+    rng = np.random.default_rng(0)
+    I, O, k, s = 3, 2, 2, 2
+    w = rng.normal(size=(I, O, k, k)).astype(np.float32)  # paddle (I,O,kH,kW)
+    x = rng.normal(size=(1, 5, 7, I)).astype(np.float32)
+
+    # numpy reference of paddle/torch transposed conv: scatter-add the
+    # un-flipped kernel at each input position
+    Ho, Wo = (5 - 1) * s + k, (7 - 1) * s + k
+    ref = np.zeros((1, Ho, Wo, O), np.float32)
+    for i in range(5):
+        for j in range(7):
+            for c in range(I):
+                ref[0, i * s : i * s + k, j * s : j * s + k, :] += (
+                    x[0, i, j, c] * np.transpose(w[c], (1, 2, 0))
+                )
+
+    m = nn.ConvTranspose(O, (k, k), strides=(s, s), padding="VALID",
+                         use_bias=False)
+    out = m.apply({"params": {"kernel": jnp.asarray(_tconv_w(w))}},
+                  jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)

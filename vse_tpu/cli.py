@@ -73,7 +73,17 @@ def cmd_extract(args) -> int:
         meta = probe(video)
         sub_area = None
         if area_arg:
-            parts = [float(t) for t in area_arg.replace(";", ",").split(",")[:4]]
+            try:
+                parts = [float(t) for t in area_arg.replace(";", ",").split(",")[:4]]
+                if len(parts) != 4:
+                    raise ValueError(f"expected 4 values, got {len(parts)}")
+            except ValueError as e:
+                print(
+                    f"error: --area must be 'ymin,ymax,xmin,xmax' "
+                    f"(pixels or 0-1 ratios), got {area_arg!r}: {e}",
+                    file=sys.stderr,
+                )
+                return 2
             if all(p <= 1.0 for p in parts):
                 sub_area = SubtitleArea.from_ratios(
                     ",".join(str(p) for p in parts), meta.width, meta.height

@@ -120,14 +120,19 @@ class Charset:
         )
 
     def folded(self) -> "Charset":
-        """Case-folded variant: lowercase letters only, encode() lowercases."""
+        """Case-folded variant: lowercase letters only, encode() lowercases.
+
+        Keeps the family name: the fold is recorded in the checkpoint's
+        vse_meta.json, and the registry resolves checkpoints by the stable
+        family name (renaming here once sent trained latin heads to a path
+        the engine never looked up)."""
         seen = []
         for c in self.chars:
             lc = c.lower()
             if lc not in seen:
                 seen.append(lc)
         return Charset(
-            name=self.name + "_folded",
+            name=self.name,
             chars=tuple(seen),
             use_space_char=self.use_space_char,
             fold_case=True,

@@ -52,6 +52,19 @@ class ModelSpec:
     rec_ckpt: str
 
 
+# Script families whose rec heads the reference pins to the fast (mobile)
+# model in EVERY mode, including accurate (reference
+# backend/tools/paddle_model_config.py:84-91 overrides after mode selection).
+_MOBILE_ONLY_REC_FAMILIES = ("latin", "arabic", "cyrillic", "devanagari")
+
+
+def rec_ckpt_path(language: str, variant: str) -> str:
+    """Canonical checkpoint path for a rec head. Single source of truth used
+    by both resolve() and the trainer, so trained heads always land where the
+    engine looks them up."""
+    return os.path.join(models_root(), f"rec_{script_family(language)}_{variant}")
+
+
 def resolve(language: str, mode: Mode, accelerated: bool = True) -> ModelSpec:
     family = script_family(language)
     if mode == Mode.FAST:
@@ -60,13 +73,15 @@ def resolve(language: str, mode: Mode, accelerated: bool = True) -> ModelSpec:
         det_v, rec_v = ("server", "server") if accelerated else ("mobile", "mobile")
     else:  # ACCURATE
         det_v, rec_v = "server", "server"
+    if family in _MOBILE_ONLY_REC_FAMILIES:
+        rec_v = "mobile"
     root = models_root()
     return ModelSpec(
         det_variant=det_v,
         rec_variant=rec_v,
         rec_family=family,
         det_ckpt=os.path.join(root, f"det_{det_v}"),
-        rec_ckpt=os.path.join(root, f"rec_{family}_{rec_v}"),
+        rec_ckpt=rec_ckpt_path(language, rec_v),
     )
 
 

@@ -58,6 +58,11 @@ def _stats_from_gray(gray: jnp.ndarray, prev: jnp.ndarray, p: ScanParams) -> jnp
     """Shared math for the kernel body and the jnp reference.
 
     gray/prev: [H, W] float32 luminance in [0, 1]. Returns [4] float32.
+
+    The segment-grid pooling runs as two matmuls against block-indicator
+    matrices (cells = Ph @ edges @ PwT): a multi-axis reshape-reduce is not
+    lowerable inside a Mosaic kernel, and on the MXU the matmul form is
+    faster anyway.
     """
     H, W = gray.shape
     gx = jnp.abs(gray - jnp.roll(gray, 1, axis=1))
@@ -67,7 +72,20 @@ def _stats_from_gray(gray: jnp.ndarray, prev: jnp.ndarray, p: ScanParams) -> jnp
     edge_energy = jnp.mean(gx)
     edges = (gx > p.edge_threshold).astype(jnp.float32)
     sh, sw = p.segment_height, p.segment_width
-    cells = edges.reshape(H // sh, sh, W // sw, sw).sum(axis=(1, 3))
+    # Ph[r, h] = 1 if h // sh == r ; PwT[w, c] = 1 if w // sw == c
+    ph = (
+        jax.lax.broadcasted_iota(jnp.int32, (H // sh, H), 1) // sh
+        == jax.lax.broadcasted_iota(jnp.int32, (H // sh, H), 0)
+    ).astype(jnp.float32)
+    pwt = (
+        jax.lax.broadcasted_iota(jnp.int32, (W, W // sw), 0) // sw
+        == jax.lax.broadcasted_iota(jnp.int32, (W, W // sw), 1)
+    ).astype(jnp.float32)
+    cells = jnp.dot(
+        jnp.dot(ph, edges, preferred_element_type=jnp.float32),
+        pwt,
+        preferred_element_type=jnp.float32,
+    )
     cell_density = cells / float(sh * sw)
     text_cells = jnp.mean((cell_density > p.moderate_threshold).astype(jnp.float32))
     temporal_diff = jnp.mean(jnp.abs(gray - prev))
@@ -99,25 +117,35 @@ def frame_stats_jnp(gray_frames: jnp.ndarray, p: ScanParams = ScanParams()) -> j
 def _keyframe_kernel(cur_ref, prev_ref, out_ref, *, p: ScanParams):
     gray = cur_ref[0].astype(jnp.float32)
     prev = prev_ref[0].astype(jnp.float32)
-    out_ref[0, :] = _stats_from_gray(gray, prev, p)
+    out_ref[0, 0, :] = _stats_from_gray(gray, prev, p)
 
 
-@partial(jax.jit, static_argnames=("p",))
-def frame_stats_pallas(gray_frames: jnp.ndarray, p: ScanParams = ScanParams()) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("p", "interpret"))
+def frame_stats_pallas(
+    gray_frames: jnp.ndarray, p: ScanParams = ScanParams(), interpret: bool = False
+) -> jnp.ndarray:
     """Pallas path: [T, H, W] float32 -> [T, 4]. One grid step per frame;
-    frame t and t-1 stream HBM->VMEM via the block pipeline."""
+    frame t and t-1 stream HBM->VMEM via the block pipeline.
+
+    The stats row is emitted as a [T, 1, 4] block — Mosaic requires the last
+    two block dims to be (8,128)-tiled or equal to the array dims; a (1, 4)
+    block over a [T, 4] array satisfies neither and fails TPU lowering.
+
+    `interpret=True` runs the kernel in the Pallas interpreter (CPU CI)."""
     T, H, W = gray_frames.shape
     prev = jnp.concatenate([gray_frames[:1], gray_frames[:-1]], axis=0)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_keyframe_kernel, p=p),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, 4), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 1, 4), jnp.float32),
+        interpret=interpret,
     )(gray_frames, prev)
+    return out[:, 0, :]
 
 
 def rgb_to_gray(frames_u8: jnp.ndarray) -> jnp.ndarray:

@@ -233,8 +233,14 @@ def _dwconv_w(w: np.ndarray) -> np.ndarray:
 
 
 def _tconv_w(w: np.ndarray) -> np.ndarray:
-    """paddle conv2d_transpose (I,O,H,W) -> flax ConvTranspose (H,W,I,O)."""
-    return np.transpose(w, (2, 3, 0, 1))
+    """paddle conv2d_transpose (I,O,H,W) -> flax ConvTranspose (H,W,I,O).
+
+    flax's ConvTranspose (transpose_kernel=False) is a fractionally-strided
+    *correlation*, while paddle/torch transposed convolution scatters the
+    kernel un-flipped — equivalently a correlation with the spatially
+    flipped kernel. Without the flip every 2x2 upsample block comes out
+    180-degree rotated (verified numerically vs torch.nn.ConvTranspose2d)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def _bn(weights: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:

@@ -133,10 +133,16 @@ class SubtitleExtractor:
     # --- OCR gating ---------------------------------------------------------
 
     def _gate_and_record(
-        self, frame_no: int, dt_box: list, rec_res: list, frame=None
+        self, frame_no: int, dt_box: list, rec_res: list, frame=None,
+        ab_checked: bool = False,
     ) -> None:
         """Apply the reference's area/score gate and append raw records
-        (reference backend/tools/subtitle_ocr.py:20-85)."""
+        (reference backend/tools/subtitle_ocr.py:20-85).
+
+        `ab_checked=True`: caller already applied the AB-section frame-range
+        gate on the REAL frame number — keyframe mode records under the
+        reference's quirky timeline key int(ms/fps) (ms_to_frameno), which is
+        NOT commensurate with AB-section frame bounds."""
         drop_score = self.config.drop_score / 100.0
         dev_rate = self.config.subtitle_area_deviation_rate
         kept_before = len(self.raw_records)
@@ -144,7 +150,8 @@ class SubtitleExtractor:
         # (reference ui/component/video_display_component.py:894-916 binds
         # selections to frame ranges; extractor applies them per task)
         if (
-            self.sub_area is not None
+            not ab_checked
+            and self.sub_area is not None
             and self.sub_area.ab_section is not None
             and not self.sub_area.ab_section.contains(frame_no)
         ):
@@ -332,14 +339,25 @@ class SubtitleExtractor:
                 )
             )
         self.use_keyframe_timeline = True
-        # pass 2: OCR one frame per span (batched)
-        from vse_tpu.video.decode import read_frame
+        # pass 2: OCR one frame per span, all spans decoded in ONE sequential
+        # pass (read_frames) instead of per-span container seeks
+        from vse_tpu.video.decode import read_frames
 
+        wanted = [sp.start_frame - 1 for sp in spans]
+        decoded = read_frames(self.video_path, wanted)
         rep_frames = []
         keys = []
-        for sp in spans:
-            f = read_frame(self.video_path, sp.start_frame - 1)
+        for sp, f in zip(spans, decoded):
             if f is None:
+                continue
+            # AB-section gating happens on the REAL span frame number; the
+            # record key below is the reference's incommensurate timeline
+            # unit int(ms/fps)
+            if (
+                area is not None
+                and area.ab_section is not None
+                and not area.ab_section.contains(sp.start_frame)
+            ):
                 continue
             rep_frames.append(f)
             # keyframe-timeline key convention: int(start_ms / fps); use the
@@ -351,7 +369,8 @@ class SubtitleExtractor:
             results = self.engine.predict_batch(chunk)
             for j, (dt_box, rec_res) in enumerate(results):
                 self._gate_and_record(
-                    keys[i + j], dt_box, rec_res, frame=chunk[j]
+                    keys[i + j], dt_box, rec_res, frame=chunk[j],
+                    ab_checked=True,  # gated on the real span frame above
                 )
             self.update_progress(ocr=min(100.0, (i + B) / max(1, len(rep_frames)) * 100))
 

@@ -141,6 +141,16 @@ class OcrEngine:
             self.rec_params, self.rec_loaded = init_or_load(
                 self.rec_model, dummy_rec, self.spec.rec_ckpt, seed + 1
             )
+        if not self.rec_loaded:
+            import warnings
+
+            warnings.warn(
+                f"no trained recognizer checkpoint at {self.spec.rec_ckpt}; "
+                "running with RANDOM-INIT weights — recognition output will "
+                "be garbage. Train one with `python -m vse_tpu.train.pretrain "
+                f"rec --language {language}`.",
+                stacklevel=2,
+            )
         self._fn_cache: dict = {}
         self.decode = decode
         self.beam_width = beam_width

@@ -198,7 +198,9 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     finally:
         if stop is not None:
             stop.set()
-    path = f"{models_root()}/rec_{charset.name}_{variant}"
+    from vse_tpu.core.registry import rec_ckpt_path
+
+    path = rec_ckpt_path(language, variant)
     save_params(
         {"params": params, "batch_stats": batch_stats},
         path,

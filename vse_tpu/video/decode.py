@@ -255,6 +255,41 @@ class FrameStream:
             t.join()
 
 
+def read_frames(
+    path: str, frame_nos: List[int], rgb: bool = True, seek_gap: int = 300
+) -> List[Optional[np.ndarray]]:
+    """Read a set of frames in ONE pass (sorted internally, results returned
+    in the caller's order). Small gaps are skipped with cheap `grab()`s;
+    only gaps larger than `seek_gap` frames use a container seek — replaces
+    the O(spans) random re-seeks of per-span `read_frame` calls (keyframe
+    mode pass 2), which contradicted the single-pass decode design."""
+    order = np.argsort(frame_nos, kind="stable")
+    out: List[Optional[np.ndarray]] = [None] * len(frame_nos)
+    cap = cv2.VideoCapture(path)
+    try:
+        pos = 0  # next frame index the decoder will return (0-based)
+        for oi in order:
+            target = max(0, int(frame_nos[oi]))
+            if target < pos:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, target)
+                pos = target
+            elif target - pos > seek_gap:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, target)
+                pos = target
+            while pos < target:
+                if not cap.grab():
+                    break
+                pos += 1
+            ret, frame = cap.read()
+            if not ret:
+                continue
+            pos += 1
+            out[oi] = frame[:, :, ::-1] if rgb else frame
+    finally:
+        cap.release()
+    return out
+
+
 def read_frame(path: str, frame_no: int = 0, rgb: bool = True) -> Optional[np.ndarray]:
     """Random-access single frame (for previews/filters)."""
     cap = cv2.VideoCapture(path)
