@@ -52,3 +52,51 @@ def test_crop_axis_aligned_fixed_pads_width():
 def test_resize_bilinear_shape():
     x = jnp.zeros((3, 10, 20, 3))
     assert resize_bilinear(x, 32, 64).shape == (3, 32, 64, 3)
+
+
+def test_letterbox_matmul_matches_cv2_bilinear():
+    """The MXU letterbox must match cv2.INTER_LINEAR (PaddleOCR's
+    preprocessing kernel) within bf16 tolerance — NOT jax.image.resize's
+    anti-aliased triangle."""
+    import cv2
+    import jax
+
+    from vse_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD, letterbox_matmul
+
+    rng = np.random.default_rng(0)
+    # smooth natural-ish image (random noise overstates kernel differences)
+    img = rng.integers(0, 255, size=(9, 16, 3)).astype(np.float64)
+    img = np.kron(img, np.ones((12, 12, 1)))[:100, :180]  # 100x180 smooth
+    img = img.astype(np.uint8)
+    H, W = img.shape[:2]
+    out_h, out_w = 64, 128
+    scale = min(out_h / H, out_w / W)
+    nh, nw = int(round(H * scale)), int(round(W * scale))
+    ref = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    ref = (ref.astype(np.float32) / 255.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(
+        IMAGENET_STD
+    )
+    canvas, (inv_y, inv_x) = jax.jit(
+        lambda f: letterbox_matmul(f, out_h, out_w)
+    )(jnp.asarray(img[None]))
+    got = np.asarray(canvas)[0, :nh, :nw]
+    assert abs(inv_y - H / nh) < 1e-9 and abs(inv_x - W / nw) < 1e-9
+    # bf16 matmul accumulates ~1 gray-level error; normalized units
+    assert np.abs(got - ref).max() < 0.08
+
+
+def test_crop_windowed_matches_full_for_short_boxes():
+    from vse_tpu.ops.image import (
+        crop_axis_aligned_matmul,
+        crop_axis_aligned_matmul_windowed,
+    )
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((400, 640, 3)).astype(np.float32) * 255)
+    for box in ([50.0, 300.0, 600.0, 380.0], [0.0, 0.0, 100.0, 40.0],
+                [10.0, 250.0, 630.0, 390.0]):
+        b = jnp.asarray(box)
+        a = crop_axis_aligned_matmul(img, b, 48, 320)
+        w = crop_axis_aligned_matmul_windowed(img, b, 48, 320, window_rows=288)
+        # f32 accumulation-order noise from the band slice (values 0..255)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w), atol=0.02)

@@ -1,15 +1,15 @@
-"""Pallas CTC greedy decoder.
+"""Pallas CTC greedy decoder (TPU).
 
-Fuses the decode chain (softmax-max -> argmax -> repeat-collapse -> blank
-mask -> left-pack -> confidence) into one kernel so the [B, T, C] logits are
-read from HBM exactly once — C is the vocab axis and reaches ~21k classes for
-the CJK heads, so the XLA fallback's multiple passes (softmax, max, argmax,
-argsort) are all bandwidth on the same giant tensor.
+The expensive part of greedy CTC decode is the C-axis sweep over [B, T, C]
+logits — C reaches ~21k classes for the CJK heads, so every extra pass over
+the tensor is HBM bandwidth. The Pallas kernel fuses the three C-axis
+reductions (max, argmax, logsumexp) into ONE read of the logits; the
+remaining collapse/left-pack work touches only [B, T] arrays and runs as
+plain XLA ops (Mosaic cannot lower the irregular 1-D ops involved — cumsum,
+offset-changing reductions — and at [B, 80] they are free anyway).
 
-Grid: one program per sequence. The left-pack is a T-step scalar loop
-(T = W/4 = 80) writing through SMEM — negligible next to the C-axis
-reductions. The jnp fallback (vse_tpu/ops/ctc.py) remains the CPU path and
-the correctness oracle (tests/test_ctc_pallas.py).
+The jnp fallback (vse_tpu/ops/ctc.py) remains the CPU path and the
+correctness oracle (tests/test_ctc_pallas.py).
 """
 
 from __future__ import annotations
@@ -23,35 +23,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ctc_greedy_kernel(logits_ref, ids_ref, nkept_ref, score_ref):
+def _argmax_lse_kernel(logits_ref, best_ref, prob_ref):
+    """[1, T, C] logits -> best id [1, 1, T] + softmax prob of best [1, 1, T].
+
+    One VMEM-resident pass over the C axis per sequence."""
     x = logits_ref[0].astype(jnp.float32)  # [T, C]
-    T, C = x.shape
-    # stable softmax prob of the argmax class, no full softmax materialized
     m = jnp.max(x, axis=1)  # [T]
-    best = jnp.argmax(x, axis=1)  # [T]
+    best = jnp.argmax(x, axis=1).astype(jnp.int32)  # [T]
     lse = m + jnp.log(jnp.sum(jnp.exp(x - m[:, None]), axis=1))
-    best_prob = jnp.exp(m - lse)  # [T]
-    prev = jnp.concatenate([jnp.full((1,), -1, best.dtype), best[:-1]])
-    keep = (best != 0) & (best != prev)
-    n_kept = jnp.sum(keep.astype(jnp.int32))
-    score_sum = jnp.sum(jnp.where(keep, best_prob, 0.0))
-    nkept_ref[0, 0] = n_kept
-    score_ref[0, 0] = jnp.where(
-        n_kept > 0, score_sum / jnp.maximum(n_kept, 1).astype(jnp.float32), 1.0
-    )
-    # left-pack kept ids with a scalar loop over T
-    ids_ref[0, :] = jnp.zeros((T,), jnp.int32)
-
-    def body(t, pos):
-        k = keep[t]
-
-        @pl.when(k)
-        def _():
-            ids_ref[0, pos] = best[t].astype(jnp.int32)
-
-        return pos + k.astype(jnp.int32)
-
-    jax.lax.fori_loop(0, T, body, jnp.int32(0))
+    best_ref[0, 0, :] = best
+    prob_ref[0, 0, :] = jnp.exp(m - lse)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -59,26 +40,46 @@ def ctc_greedy_decode_pallas(
     logits: jnp.ndarray, interpret: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """[B, T, C] logits -> (ids [B, T] int32 left-packed, mask [B, T] bool,
-    scores [B] f32). Matches vse_tpu.ops.ctc.ctc_greedy_decode."""
+    scores [B] f32). Matches vse_tpu.ops.ctc.ctc_greedy_decode.
+
+    Outputs are emitted as [B, 1, T] blocks: Mosaic requires the last two
+    block dims to be (8,128)-tiled or equal to the array dims."""
     B, T, C = logits.shape
-    ids, nkept, score = pl.pallas_call(
-        _ctc_greedy_kernel,
+    best, best_prob = pl.pallas_call(
+        _argmax_lse_kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, T), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, T), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, T), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, T), jnp.float32),
         ),
         interpret=interpret,
     )(logits)
-    mask = jnp.arange(T)[None, :] < nkept
-    return ids, mask, score[:, 0]
+    best = best[:, 0, :]  # [B, T]
+    best_prob = best_prob[:, 0, :]
+
+    # collapse repeats + blanks, left-pack (identical to ops/ctc.py semantics)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, best.dtype), best[:, :-1]], axis=1
+    )
+    keep = (best != 0) & (best != prev)
+    n_kept = jnp.sum(keep, axis=1)
+    score_sum = jnp.sum(jnp.where(keep, best_prob, 0.0), axis=1)
+    scores = jnp.where(
+        n_kept > 0, score_sum / jnp.maximum(n_kept, 1), 1.0
+    )
+    posn = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1  # [B, T]
+    slots = jnp.arange(T)[None, None, :]
+    onehot = (posn[:, :, None] == slots) & keep[:, :, None]  # [B, T, T]
+    ids = jnp.sum(jnp.where(onehot, best[:, :, None], 0), axis=1)
+    mask = jnp.arange(T)[None, :] < n_kept[:, None]
+    return ids.astype(jnp.int32), mask, scores.astype(jnp.float32)

@@ -55,6 +55,53 @@ def letterbox(
     return padded, 1.0 / scale, 1.0 / scale
 
 
+def _tent_matrix(out_n: int, in_n: int) -> jnp.ndarray:
+    """2-tap bilinear resampling matrix [out_n, in_n] (half-pixel centers,
+    exact in/out ratio per axis).
+
+    Matches cv2.INTER_LINEAR — the kernel PaddleOCR preprocesses with — NOT
+    jax.image.resize's anti-aliased triangle (which widens the kernel by
+    1/scale on downscale). The converted PP-OCR weights were trained behind
+    cv2 resize, so this is the parity-correct det resize. cv2 maps
+    src = (dst + 0.5) * (in/out) - 0.5 with the exact per-axis ratio (NOT a
+    shared rounded letterbox scale — the drift reaches a third of a pixel at
+    the right edge and crosses texture boundaries)."""
+    import numpy as np
+
+    out = np.arange(out_n, dtype=np.float64) + 0.5
+    src = out * (in_n / out_n) - 0.5
+    rows = np.arange(in_n, dtype=np.float64)
+    w = np.clip(1.0 - np.abs(src[:, None] - rows[None, :]), 0.0, 1.0)
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-9)
+    return jnp.asarray(w, jnp.bfloat16)
+
+
+def letterbox_matmul(
+    frames_u8: jnp.ndarray, out_h: int, out_w: int,
+    mean: jnp.ndarray = IMAGENET_MEAN, std: jnp.ndarray = IMAGENET_STD,
+) -> Tuple[jnp.ndarray, Tuple[float, float]]:
+    """Fused det preprocessing: uint8 [B, H, W, 3] -> normalized float32
+    letterboxed canvas [B, out_h, out_w, 3], via two bf16 MXU matmuls
+    (separable bilinear). ~3x faster than jax.image.resize at 64x1080p
+    (measured 29ms -> 11ms) and skips the full-res f32 intermediate.
+
+    Returns (canvas, (inv_scale_y, inv_scale_x)) — per-axis canvas->frame
+    coordinate factors (they differ slightly because the resized dims round
+    to integers)."""
+    B, H, W, C = frames_u8.shape
+    scale = min(out_h / H, out_w / W)
+    nh, nw = int(round(H * scale)), int(round(W * scale))
+    wy = _tent_matrix(nh, H)
+    wx = _tent_matrix(nw, W)
+    x = frames_u8.astype(jnp.bfloat16)
+    x = jnp.einsum("bhwc,oh->bowc", x, wy, preferred_element_type=jnp.bfloat16)
+    x = jnp.einsum("bowc,pw->bopc", x, wx, preferred_element_type=jnp.float32)
+    x = (x / 255.0 - mean) / std
+    canvas = jnp.zeros((B, out_h, out_w, C), jnp.float32)
+    canvas = jax.lax.dynamic_update_slice(canvas, x, (0, 0, 0, 0))
+    return canvas, (H / nh, W / nw)
+
+
 def _bilinear_sample_one(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
     """Sample image [H, W, C] at float coords ys/xs [h, w] -> [h, w, C]."""
     H, W = image.shape[0], image.shape[1]
@@ -157,6 +204,37 @@ def crop_axis_aligned_matmul(
     out = jnp.einsum("hWc,wW->hwc", mid, wx,
                      preferred_element_type=jnp.float32)
     return out
+
+
+def crop_axis_aligned_matmul_windowed(
+    image: jnp.ndarray, box_xyxy: jnp.ndarray, out_h: int, out_w: int,
+    window_rows: int = 288,
+) -> jnp.ndarray:
+    """`crop_axis_aligned_matmul` restricted to a `window_rows`-high band.
+
+    Subtitle boxes are short (a 1080p two-line subtitle is < 150 px); the
+    full [out_h, H] row-interpolation matmul wastes ~8x FLOPs on rows the
+    box never touches. dynamic_slice the band starting at ymin (clamped),
+    then interpolate inside it. Boxes taller than the window are sampled
+    with the bottom clamped to the window edge (rare; still full-width)."""
+    H, W = image.shape[0], image.shape[1]
+    window_rows = min(window_rows, H)
+    xmin, ymin, xmax, ymax = box_xyxy[0], box_xyxy[1], box_xyxy[2], box_xyxy[3]
+    y_start = jnp.clip(
+        jnp.floor(ymin).astype(jnp.int32), 0, H - window_rows
+    )
+    band = jax.lax.dynamic_slice(
+        image, (y_start, 0, 0), (window_rows, W, image.shape[2])
+    )
+    local_box = jnp.stack(
+        [
+            xmin,
+            jnp.clip(ymin - y_start.astype(ymin.dtype), 0.0, window_rows - 1.0),
+            xmax,
+            jnp.clip(ymax - y_start.astype(ymax.dtype), 0.0, window_rows - 1.0),
+        ]
+    )
+    return crop_axis_aligned_matmul(band, local_box, out_h, out_w)
 
 
 def crop_axis_aligned_fixed(

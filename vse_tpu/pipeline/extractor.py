@@ -278,10 +278,12 @@ class SubtitleExtractor:
             stride=stride,
             start_frame=start_frame,
         )
+        from vse_tpu.pipeline.feed import device_prefetch
+
         batches_since_save = 0
-        for batch in stream:
+        for batch, frames_dev in device_prefetch(stream):
             n_valid = int(batch.valid.sum())
-            results = self.engine.predict_batch(batch.frames[:n_valid])
+            results = self.engine.predict_batch(frames_dev)[:n_valid]
             for i in range(n_valid):
                 dt_box, rec_res = results[i]
                 self._gate_and_record(
@@ -398,10 +400,11 @@ class SubtitleExtractor:
             if end_result is not None and end_no != span_head_no:
                 self._gate_and_record(end_no, *end_result)
 
-        for batch in stream:
+        from vse_tpu.pipeline.feed import device_prefetch
+
+        for batch, frames_dev in device_prefetch(stream):
             n_valid = int(batch.valid.sum())
-            frames = batch.frames[:n_valid]
-            results = self.engine.predict_batch(frames)
+            results = self.engine.predict_batch(frames_dev)[:n_valid]
             for i in range(n_valid):
                 frame_no = int(batch.frame_nos[i])
                 dt_box, rec_res = results[i]

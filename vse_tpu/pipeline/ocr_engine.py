@@ -34,6 +34,8 @@ from vse_tpu.ops.db_postprocess import db_postprocess
 from vse_tpu.ops.image import (
     crop_axis_aligned_fixed,
     crop_axis_aligned_matmul,
+    crop_axis_aligned_matmul_windowed,
+    letterbox_matmul,
     normalize_det,
     normalize_rec,
 )
@@ -234,6 +236,79 @@ class OcrEngine:
             self._fn_cache[key] = (run, 1.0 / scale)
         return self._fn_cache[key]
 
+    def _predict_fused_fn(self, h: int, w: int, hd: int, wd: int):
+        """ONE jitted program for the whole OCR step: letterbox -> normalize
+        -> DB forward -> box extraction -> scale boxes to frame coords ->
+        crop -> CRNN forward -> CTC decode. No host round-trip between det
+        and rec (the reference crosses Python<->C++ twice per frame here,
+        reference backend/tools/ocr.py:24-86); boxes stay on device.
+
+        On TPU the CTC decode runs the Pallas kernel (one HBM pass over the
+        [B*K, T, C] logits — vse_tpu/kernels/ctc_decode.py)."""
+        key = ("predict_fused", h, w, hd, wd)
+        if key not in self._fn_cache:
+            cfg = self.config
+            use_pallas_ctc = jax.default_backend() == "tpu"
+
+            @jax.jit
+            def run(det_params, rec_params, frames_u8):
+                x, inv_scale = letterbox_matmul(frames_u8, hd, wd)
+                prob = self.det_model.apply(det_params, x)
+                boxes, det_scores, valid = db_postprocess(
+                    prob,
+                    max_boxes=self.max_boxes,
+                    thresh=cfg.db_thresh,
+                    box_thresh=cfg.db_box_thresh,
+                    unclip_ratio=cfg.db_unclip_ratio,
+                    pool=cfg.db_pool,
+                    num_sweeps=cfg.db_sweeps,
+                )
+                # det-canvas -> original frame coords, clamped on device
+                inv_y, inv_x = inv_scale
+                boxes = jnp.stack(
+                    [
+                        jnp.clip(boxes[..., 0] * inv_x, 0, w - 1),
+                        jnp.clip(boxes[..., 1] * inv_y, 0, h - 1),
+                        jnp.clip(boxes[..., 2] * inv_x, 0, w - 1),
+                        jnp.clip(boxes[..., 3] * inv_y, 0, h - 1),
+                    ],
+                    axis=-1,
+                )
+
+                def per_frame(frame, fboxes):
+                    ff = frame.astype(jnp.float32)
+                    return jax.vmap(
+                        lambda b: crop_axis_aligned_matmul_windowed(
+                            ff, b, self.rec_h, self.rec_w
+                        )
+                    )(fboxes)
+
+                crops = jax.vmap(per_frame)(frames_u8, boxes)  # [B,K,h,w,3]
+                B, K = crops.shape[0], crops.shape[1]
+                crops = crops.reshape((B * K,) + crops.shape[2:])
+                crops = (crops / 255.0 - 0.5) / 0.5
+                logits = self.rec_model.apply(rec_params, crops)
+                if use_pallas_ctc:
+                    from vse_tpu.kernels.ctc_decode import (
+                        ctc_greedy_decode_pallas,
+                    )
+
+                    ids, mask, rec_scores = ctc_greedy_decode_pallas(logits)
+                else:
+                    ids, mask, rec_scores = ctc_greedy_decode(logits)
+                T = ids.shape[1]
+                return (
+                    boxes,
+                    det_scores,
+                    valid,
+                    ids.reshape(B, K, T),
+                    mask.reshape(B, K, T),
+                    rec_scores.reshape(B, K),
+                )
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key]
+
     def _crop_rec_fn(self, h: int, w: int):
         """Crop K boxes from each full-res frame and run rec + CTC decode."""
         key = ("crop_rec", h, w)
@@ -316,35 +391,49 @@ class OcrEngine:
         self, frames_u8: np.ndarray
     ) -> List[Tuple[list, list]]:
         """Full OCR on a frame batch. Returns per-frame (dt_box, rec_res)
-        in the reference's format."""
-        B, h, w, _ = frames_u8.shape
-        boxes, det_scores, valid = self.detect_batch(frames_u8)
-        frames_dev = self._shard_frames(jnp.asarray(frames_u8))
-        boxes_dev = self._shard_frames(jnp.asarray(boxes.astype(np.float32)))
-        if self.decode == "beam":
-            from vse_tpu.ops.ctc import ctc_prefix_beam_decode
+        in the reference's format.
 
-            logp = np.asarray(
-                self._crop_logits_fn(h, w)(self.rec_params, frames_dev, boxes_dev)
-            )[:B]
-            texts = {}
-            beam_scores = {}
-            for b in range(B):
-                for k in range(self.max_boxes):
-                    if valid[b, k]:
-                        ids_bk, score = ctc_prefix_beam_decode(
-                            logp[b, k], beam_width=self.beam_width
-                        )
-                        texts[(b, k)] = self.charset.decode_ids(ids_bk)
-                        beam_scores[(b, k)] = score
-        else:
-            crop_rec = self._crop_rec_fn(h, w)
-            ids, mask, rec_scores = crop_rec(
-                self.rec_params, frames_dev, boxes_dev
+        Greedy decode runs the fused single-program path (det+rec in one
+        XLA program, boxes never leave the device). Frames are processed in
+        chunks of `max_batch_size` (the reference's det-batch knob,
+        reference backend/config.py:60) — one compiled bucket per shape."""
+        B, h, w, _ = frames_u8.shape
+        if self.decode == "beam":
+            return self._predict_batch_beam(frames_u8)
+        on_device = isinstance(frames_u8, jax.Array)
+        chunk = max(1, self.config.max_batch_size)
+        out: List[Tuple[list, list]] = []
+        for i in range(0, B, chunk):
+            fr = frames_u8[i : i + chunk]
+            n = fr.shape[0]
+            if n < chunk and B > chunk and not on_device:
+                # pad the tail to the compiled bucket size
+                fr = np.concatenate(
+                    [fr, np.zeros((chunk - n,) + fr.shape[1:], fr.dtype)]
+                )
+            res = self.ocr_step_device(
+                fr if on_device else self._shard_frames(jax.device_put(fr))
             )
-            ids = np.asarray(ids)[:B]
-            mask = np.asarray(mask)[:B]
-            rec_scores = np.asarray(rec_scores)[:B]
+            boxes, det_scores, valid, ids, mask, rec_scores = (
+                np.asarray(r)[:n] for r in res
+            )
+            out.extend(
+                self._format_results(n, boxes, valid, ids, mask, rec_scores)
+            )
+        return out
+
+    def ocr_step_device(self, frames_dev: jnp.ndarray):
+        """The ONE compiled OCR step on device-resident frames — the exact
+        program `predict_batch` runs. Returns device arrays
+        (boxes, det_scores, valid, ids, mask, rec_scores); callers that
+        pipeline uploads (multistream, bench) use this directly."""
+        _, h, w, _ = frames_dev.shape
+        hd, wd = self.det_bucket(h, w)
+        fused = self._predict_fused_fn(h, w, hd, wd)
+        return fused(self.det_params, self.rec_params, frames_dev)
+
+    def _format_results(self, B, boxes, valid, ids, mask, rec_scores):
+        """ids/mask -> texts, reference output format + line sorting."""
         out = []
         for b in range(B):
             coords = []
@@ -353,16 +442,61 @@ class OcrEngine:
                 if not valid[b, k]:
                     continue
                 x0, y0, x1, y1 = boxes[b, k]
-                if self.decode == "beam":
-                    text = texts[(b, k)]
-                    score = beam_scores[(b, k)]
-                else:
-                    text = self.charset.decode_ids(
-                        [int(i) for i, m in zip(ids[b, k], mask[b, k]) if m]
-                    )
-                    score = float(rec_scores[b, k])
+                text = self.charset.decode_ids(
+                    [int(i) for i, m in zip(ids[b, k], mask[b, k]) if m]
+                )
+                score = float(rec_scores[b, k])
                 coords.append((int(x0), int(x1), int(y0), int(y1)))
                 items.append((text, score))
+            coords, items = sort_into_lines(coords, items)
+            dt_box = [
+                [(c[0], c[2]), (c[1], c[2]), (c[1], c[3]), (c[0], c[3])]
+                for c in coords
+            ]
+            out.append((dt_box, items))
+        return out
+
+    def _predict_batch_beam(
+        self, frames_u8: np.ndarray
+    ) -> List[Tuple[list, list]]:
+        """Beam-decode path: device det + rec log-probs, host prefix beam.
+        Crops decode host-side in `rec_batch_number` groups (the reference's
+        rec-batch knob, reference backend/config.py:58)."""
+        B, h, w, _ = frames_u8.shape
+        boxes, det_scores, valid = self.detect_batch(frames_u8)
+        frames_dev = self._shard_frames(jnp.asarray(frames_u8))
+        boxes_dev = self._shard_frames(jnp.asarray(boxes.astype(np.float32)))
+        from vse_tpu.ops.ctc import ctc_prefix_beam_decode
+
+        logp = np.asarray(
+            self._crop_logits_fn(h, w)(self.rec_params, frames_dev, boxes_dev)
+        )[:B]
+        texts = {}
+        beam_scores = {}
+        todo = [
+            (b, k)
+            for b in range(B)
+            for k in range(self.max_boxes)
+            if valid[b, k]
+        ]
+        group = max(1, self.config.rec_batch_number)
+        for gi in range(0, len(todo), group):
+            for b, k in todo[gi : gi + group]:
+                ids_bk, score = ctc_prefix_beam_decode(
+                    logp[b, k], beam_width=self.beam_width
+                )
+                texts[(b, k)] = self.charset.decode_ids(ids_bk)
+                beam_scores[(b, k)] = score
+        out = []
+        for b in range(B):
+            coords = []
+            items = []
+            for k in range(self.max_boxes):
+                if not valid[b, k]:
+                    continue
+                x0, y0, x1, y1 = boxes[b, k]
+                coords.append((int(x0), int(x1), int(y0), int(y1)))
+                items.append((texts[(b, k)], beam_scores[(b, k)]))
             coords, items = sort_into_lines(coords, items)
             dt_box = [
                 [(c[0], c[2]), (c[1], c[2]), (c[1], c[3]), (c[0], c[3])]
