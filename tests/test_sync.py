@@ -261,3 +261,76 @@ def test_regression_harness_runner(audio_pair, tmp_path):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "OK" in r.stdout
+
+
+def test_regression_harness_nonzero_expected_errors(audio_pair, tmp_path):
+    """Golden-tolerance semantics: a config with expected_errors=1 must PASS
+    when exactly one event lands off-frame, and the same corpus with
+    expected_errors=0 must FAIL (reference regression-tests.py:76-81 —
+    more OR fewer failures than expected both fail)."""
+    import json
+    import subprocess
+    import sys
+
+    src_path, dst_path = audio_pair
+    script = str(tmp_path / "in.srt")
+    ideal = str(tmp_path / "ideal.srt")
+    cues = [(2.0 + 3 * i, 4.0 + 3 * i, f"line {i}") for i in range(6)]
+    make_srt(script, cues)
+    shifted = [(s + 1.7, e + 1.7, t) for s, e, t in cues]
+    # poison ONE ideal event by half a second -> exactly 1 frame mismatch
+    shifted[2] = (shifted[2][0] + 0.5, shifted[2][1] + 0.5, shifted[2][2])
+    make_srt(ideal, shifted)
+
+    def run_cfg(expected):
+        cfg = {
+            "basepath": str(tmp_path),
+            "tests": [{
+                "name": f"tolerance-{expected}",
+                "src": src_path, "dst": dst_path,
+                "script": "in.srt", "ideal": "ideal.srt",
+                "fps": 23.976, "expected_errors": expected,
+            }],
+        }
+        cfg_path = tmp_path / f"tests_{expected}.json"
+        cfg_path.write_text(json.dumps(cfg))
+        return subprocess.run(
+            [sys.executable, "tools/sync_regression.py", str(cfg_path)],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        )
+
+    ok = run_cfg(1)
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    bad = run_cfg(0)
+    assert bad.returncode != 0
+
+
+def test_make_keyframes_scxvid_log(tmp_path):
+    """Native SCXviD-log generation (replaces the reference's ffmpeg|SCXvid
+    pipe, reference demux.py:113-135): scene cuts in a rendered video come
+    back as keyframes through parse_keyframes."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from vse_tpu.sync.demux import make_keyframes
+    from vse_tpu.sync.timecodes import parse_keyframes
+
+    path = str(tmp_path / "cuts.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (320, 240))
+    rng = np.random.default_rng(0)
+    scenes = [rng.integers(0, 255, size=(240, 320, 3), dtype=np.uint8)
+              for _ in range(3)]
+    for scene_idx, scene in enumerate(scenes):
+        for _ in range(40):  # 40 frames per scene
+            vw.write(scene)
+    vw.release()
+    log = str(tmp_path / "kf.log")
+    make_keyframes(path, log)
+    kfs = parse_keyframes(log)
+    assert 0 in kfs
+    # the two scene cuts (frames 40 and 80) must be detected within +-1
+    for cut in (40, 80):
+        assert any(abs(k - cut) <= 1 for k in kfs), (cut, kfs)
+    # steady frames are NOT keyframes
+    assert len(kfs) <= 6

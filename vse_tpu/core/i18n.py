@@ -23,11 +23,11 @@ _EN: Dict[str, str] = {
     "OcrDropConfidentLow": "confidence below {0}%",
     "SubLocation": "subtitle file saved: {0}",
     "WatchPicture": "review the marked frame",
-    "QuestionDelete": "delete this area's text? [y/n] ",
+    "QuestionDelete": "{0} appears {1}x — delete this area's text? [y/n] ",
     "FinishDelete": "deleted",
     "FinishWaterMarkFilter": "watermark filtering finished",
     "CheckSubArea": "check the subtitle area preview:",
-    "DeleteNoSubArea": "delete text outside this band? [y/n] ",
+    "DeleteNoSubArea": "keep only lines inside y band {0}? [y/n] ",
     "FinishDeleteNoSubArea": "done",
     "ResumeFrom": "resuming from frame {0} ({1} records restored)",
     "ExtractionDone": "extraction finished in {0}s -> {1}",
@@ -45,9 +45,14 @@ def set_locale(locale: str, ini_path: Optional[str] = None) -> None:
     _locale = locale
     if ini_path and os.path.exists(ini_path):
         cp = configparser.ConfigParser()
+        cp.optionxform = str  # keep CamelCase keys (ConfigParser lowercases)
         cp.read(ini_path, encoding="utf-8")
         if cp.has_section("Main"):
             _catalog.update(dict(cp["Main"]))
+
+
+def get_locale() -> str:
+    return _locale
 
 
 def tr(key: str, *args) -> str:

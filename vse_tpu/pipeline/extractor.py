@@ -26,6 +26,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 from vse_tpu.core.config import Mode, VseConfig
+from vse_tpu.core.i18n import tr
 from vse_tpu.core.subtitle_area import SubtitleArea
 from vse_tpu.kernels.keyframe import ScanParams, find_spans, frame_stats, rgb_to_gray
 from vse_tpu.ops.levenshtein import ratio
@@ -267,8 +268,7 @@ class SubtitleExtractor:
                 self.raw_records.extend(manifest.records)
                 start_frame = manifest.last_frame_no
                 self.append_output(
-                    f"resuming from frame {start_frame} "
-                    f"({len(manifest.records)} records restored)"
+                    tr("ResumeFrom", start_frame, len(manifest.records))
                 )
             else:
                 manifest = ProgressManifest(self.video_path, "fps")
@@ -485,9 +485,10 @@ class SubtitleExtractor:
             if self.config.generate_txt:
                 srt_to_txt(self.subtitle_output_path)
             self.append_output(
-                f"extraction finished in {time.time() - t0:.1f}s -> "
-                f"{self.subtitle_output_path}"
+                tr("ExtractionDone", f"{time.time() - t0:.1f}",
+                   self.subtitle_output_path)
             )
+            self.append_output(tr("SubLocation", self.subtitle_output_path))
             return self.subtitle_output_path
 
     def generate_subtitle_file(self) -> None:

@@ -101,7 +101,9 @@ def filter_watermark(
     to_drop = set()
     for coord, count in candidates:
         if confirm is not None:
-            drop = confirm(f"{coord} appears {count}x — delete as watermark?")
+            from vse_tpu.core.i18n import tr
+
+            drop = confirm(tr("QuestionDelete", coord, count))
         else:
             matching = [r for r, u in zip(records, united) if u == coord]
             drop = auto_watermark_policy(coord, matching)
@@ -129,7 +131,9 @@ def filter_scene_text(
     band = detect_subtitle_band(records)
     ymin = abs(band[0] - subtitle_area_deviation_pixel)
     ymax = band[1] + subtitle_area_deviation_pixel
-    if not confirm(f"keep only lines inside y band {(ymin, ymax)}?"):
+    from vse_tpu.core.i18n import tr
+
+    if not confirm(tr("DeleteNoSubArea", (ymin, ymax))):
         return records
     return [
         r for r in records if ymin <= r.coord[2] and r.coord[3] <= ymax

@@ -98,6 +98,8 @@ class Demuxer:
         self._audio: Optional[Tuple[int, str, Optional[int]]] = None
         self._script: Optional[Tuple[int, str]] = None
         self._chapters_out: Optional[str] = None
+        self._timecodes: Optional[Tuple[int, str]] = None
+        self._keyframes_out: Optional[str] = None
         self._produced: List[str] = []
 
     @property
@@ -124,6 +126,20 @@ class Demuxer:
     def set_chapters(self, output_path: str):
         self._chapters_out = output_path
 
+    def set_timecodes(self, output_path: str):
+        """Plan per-frame timecode extraction (mkvtimestamp_v2 via ffmpeg;
+        reference demux.py:49-52, with the mkvextract fallback of
+        reference demux.py:106-110 when ffmpeg can't produce them)."""
+        s = _pick_stream(self._info.video, None, "video")
+        self._timecodes = (s.id, output_path)
+
+    def set_keyframes(self, output_path: str):
+        """Plan keyframe-log generation (the reference pipes ffmpeg yuv4mpeg
+        into the SCXvid binary, reference demux.py:113-135; here the
+        framework's own scene-cut scanner writes the SCXviD-format log —
+        no external binaries)."""
+        self._keyframes_out = output_path
+
     def demux(self):
         if self.is_wav:
             return
@@ -139,9 +155,22 @@ class Demuxer:
             sid, out = self._script
             args += ["-map", f"0:{sid}", out]
             self._produced.append(out)
+        if self._timecodes is not None:
+            sid, out = self._timecodes
+            args += ["-map", f"0:{sid}", "-f", "mkvtimestamp_v2", out]
+            self._produced.append(out)
         rc = subprocess.run(args, capture_output=True).returncode
         if rc != 0:
             raise SyncError(f"ffmpeg demux failed (rc={rc})")
+        if self._timecodes is not None and not os.path.exists(
+            self._timecodes[1]
+        ):
+            # mkvextract fallback (reference demux.py:106-110)
+            mkvextract_timecodes(self.path, self._timecodes[0],
+                                 self._timecodes[1])
+        if self._keyframes_out is not None:
+            make_keyframes(self.path, self._keyframes_out)
+            self._produced.append(self._keyframes_out)
         if self._chapters_out is not None:
             with open(self._chapters_out, "w", encoding="utf-8") as f:
                 for i, t in enumerate(self.chapters):
@@ -156,3 +185,57 @@ class Demuxer:
                 os.remove(p)
             except OSError:
                 pass
+
+
+def mkvextract_timecodes(mkv_path: str, stream_idx: int, output_path: str):
+    """mkvextract timecodes_v2 fallback (reference demux.py:106-110)."""
+    exe = shutil.which("mkvextract")
+    if not exe:
+        raise SyncError(
+            "neither ffmpeg mkvtimestamp_v2 nor mkvextract could produce "
+            f"timecodes for {mkv_path}"
+        )
+    subprocess.call(
+        [exe, "timecodes_v2", mkv_path, f"{stream_idx}:{output_path}"]
+    )
+
+
+def make_keyframes(
+    video_path: str, log_path: str, diff_threshold: float = 0.08
+) -> None:
+    """Write an SCXviD-format keyframe log for a video using the framework's
+    own scene-cut detection — replaces the reference's
+    ffmpeg|SCXvid subprocess pipe (reference demux.py:113-135) with the
+    keyframe scanner's temporal-diff statistic (no external binaries; the
+    stats kernel runs on TPU when present). Frames whose mean luminance
+    delta exceeds `diff_threshold` (or frame 0) are marked 'i'."""
+    import numpy as np
+
+    from vse_tpu.kernels.keyframe import ScanParams, frame_stats, rgb_to_gray
+    from vse_tpu.video.decode import FrameStream
+
+    diffs: List[float] = []
+    # scene cuts survive heavy downscale; 4x decimation keeps the scan cheap.
+    # The previous batch's last frame is prepended so temporal diffs span
+    # batch boundaries (frame_stats diffs within its input only).
+    prev_tail = None
+    for batch in FrameStream(video_path, batch_size=32, rgb=False):
+        n = int(batch.valid.sum())
+        small = batch.frames[:n, ::4, ::4]
+        gray = np.asarray(rgb_to_gray(small))
+        if prev_tail is not None:
+            stats = frame_stats(
+                np.concatenate([prev_tail, gray]), ScanParams()
+            )[1:]
+        else:
+            stats = frame_stats(gray, ScanParams())
+        prev_tail = gray[-1:]
+        diffs.extend(float(d) for d in stats[:, 2])
+    if not diffs:
+        raise SyncError(f"no frames decoded from {video_path}")
+    with open(log_path, "w", encoding="utf-8") as f:
+        f.write("# XviD 2pass stat file 1.0\n#\n#\n")
+        for i, d in enumerate(diffs):
+            # temporal diff of frame 0 vs itself is 0 — force keyframe
+            f.write("i" if (i == 0 or d > diff_threshold) else "p")
+            f.write("\n")

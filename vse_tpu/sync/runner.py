@@ -120,6 +120,46 @@ def run(args) -> str:
         elif not src_demuxer.is_wav:
             chapter_times = src_demuxer.chapters
 
+    # keyframe/timecode selection (reference backend/sushi/__init__.py:578-607):
+    # 'auto' reuses a previously generated log, 'make' regenerates; timecodes
+    # auto-extract from the container when neither a file nor fps is given
+    src_kf_file = dst_kf_file = None
+    src_tc_file, dst_tc_file = args.src_timecodes, args.dst_timecodes
+    if args.src_keyframes:
+        def select_keyframes(file_arg: str, demuxer: Demuxer) -> str:
+            auto_file = _temp_path(args.temp_dir, demuxer.path,
+                                   ".sync.keyframes.txt")
+            if file_arg in ("auto", "make"):
+                if file_arg == "make" or not os.path.exists(auto_file):
+                    if not demuxer.has_video:
+                        raise SyncError(
+                            f"cannot make keyframes for {demuxer.path}: "
+                            "it has no video stream"
+                        )
+                    demuxer.set_keyframes(auto_file)
+                return auto_file
+            return file_arg
+
+        def select_timecodes(external: Optional[str], fps_arg, demuxer: Demuxer):
+            if external:
+                return external
+            if fps_arg:
+                return None
+            if demuxer.has_video:
+                path = _temp_path(args.temp_dir, demuxer.path,
+                                  ".sync.timecodes.txt")
+                demuxer.set_timecodes(path)
+                return path
+            raise SyncError(
+                "fps, timecodes or video files must be provided when "
+                "keyframes are used"
+            )
+
+        src_kf_file = select_keyframes(args.src_keyframes, src_demuxer)
+        dst_kf_file = select_keyframes(args.dst_keyframes, dst_demuxer)
+        src_tc_file = select_timecodes(args.src_timecodes, args.src_fps, src_demuxer)
+        dst_tc_file = select_timecodes(args.dst_timecodes, args.dst_fps, dst_demuxer)
+
     src_demuxer.demux()
     dst_demuxer.demux()
     try:
@@ -127,14 +167,14 @@ def run(args) -> str:
         if args.src_keyframes:
             src_tc = (
                 Timecodes.cfr(args.src_fps) if args.src_fps
-                else Timecodes.from_file(args.src_timecodes)
+                else Timecodes.from_file(src_tc_file)
             )
-            src_kt = [src_tc.get_frame_time(f) for f in parse_keyframes(args.src_keyframes)]
+            src_kt = [src_tc.get_frame_time(f) for f in parse_keyframes(src_kf_file)]
             dst_tc = (
                 Timecodes.cfr(args.dst_fps) if args.dst_fps
-                else Timecodes.from_file(args.dst_timecodes)
+                else Timecodes.from_file(dst_tc_file)
             )
-            dst_kt = [dst_tc.get_frame_time(f) for f in parse_keyframes(args.dst_keyframes)]
+            dst_kt = [dst_tc.get_frame_time(f) for f in parse_keyframes(dst_kf_file)]
 
         script = (
             AssScript.from_file(src_script) if ext == ".ass"

@@ -50,6 +50,19 @@ class SynthConfig:
     fixed_stroke: int = -1
 
 
+def font_covered_chars(font_paths: Sequence[str], chars: Sequence[str]):
+    """Subset of `chars` every font in `font_paths` has real glyphs for
+    (exact cmap lookup via fontTools — bitmap heuristics mistake tofu boxes
+    for coverage)."""
+    from fontTools.ttLib import TTFont
+
+    cov = None
+    for p in font_paths:
+        cm = set(TTFont(p, lazy=True).getBestCmap().keys())
+        cov = cm if cov is None else (cov & cm)
+    return [c for c in chars if all(ord(x) in (cov or set()) for x in c)]
+
+
 class TextRenderer:
     def __init__(self, charset: Charset, cfg: SynthConfig = SynthConfig(), seed: int = 0):
         self.charset = charset
@@ -58,13 +71,56 @@ class TextRenderer:
         self.fonts = _font_paths()
         if not self.fonts:
             raise RuntimeError("no TTF fonts found (matplotlib DejaVu expected)")
-        # words built from the charset's renderable chars
-        self.alphabet = [c for c in charset.chars if c.strip()]
+        # restrict generation to chars the fonts actually cover — drawing
+        # uncovered chars renders tofu boxes whose labels poison CTC; the
+        # HEAD still spans the full family charset (ids come from `charset`).
+        # Fonts that cover little of the charset are dropped first (the
+        # matplotlib dir ships DejaVuSansDisplay.ttf with a 47-glyph cmap —
+        # intersecting with it would zero every alphabet).
+        per_font = {
+            p: set(font_covered_chars([p], charset.chars)) for p in self.fonts
+        }
+        best = max(len(v) for v in per_font.values())
+        self.fonts = [
+            p for p, v in per_font.items() if len(v) >= max(1, 0.9 * best)
+        ]
+        covered = set.intersection(*(per_font[p] for p in self.fonts))
+        # charset order (not set order): keeps datasets reproducible
+        self.alphabet = [c for c in charset.chars if c in covered and c.strip()]
+        if not self.alphabet:
+            raise RuntimeError(
+                f"charset {charset.name!r}: the available fonts cover none of "
+                f"its {len(charset.chars)} characters — drop a covering TTF "
+                "into the font path to train this family"
+            )
+        frac = len(self.alphabet) / max(1, len(charset.chars))
+        if frac < 0.5:
+            import warnings
+
+            warnings.warn(
+                f"charset {charset.name!r}: fonts cover only "
+                f"{len(self.alphabet)}/{len(charset.chars)} chars; the "
+                "trained head will not see the rest", stacklevel=2,
+            )
+        # English words only make sense for heads that contain ascii letters;
+        # other scripts get pseudo-words drawn from their own alphabet. Heads
+        # with non-ascii chars (latin accents, mixed heads) mix in pseudo-
+        # words so those glyphs appear in training at all.
+        self._ascii_words = all(c in charset.chars for c in "etaoinshrd")
+        self._pseudo_share = (
+            0.0 if all(ord(c) < 128 for c in self.alphabet) else 0.25
+        )
 
     # common words give the recognizer realistic glyph sequences (the word
     # segmenter's frequency list, ~2k words); random chars keep full charset
     # coverage
     from vse_tpu.post.wordseg import _COMMON as _WORDS  # noqa: N815
+
+    def _pseudo_word(self) -> str:
+        k = int(self.rng.integers(2, 9))
+        return "".join(
+            str(self.rng.choice(self.alphabet)) for _ in range(k)
+        ).strip()
 
     def random_text(self, min_len=3, max_len=18) -> str:
         n = int(self.rng.integers(min_len, max_len + 1))
@@ -72,15 +128,16 @@ class TextRenderer:
         parts = []
         length = 0
         while length < n:
-            if self.rng.random() < word_p:
+            if (
+                self.rng.random() < word_p
+                and self._ascii_words
+                and self.rng.random() >= self._pseudo_share
+            ):
                 w = str(self.rng.choice(self._WORDS))
                 if self.rng.random() < 0.3:
                     w = w.capitalize()
             else:
-                k = int(self.rng.integers(1, 6))
-                w = "".join(
-                    str(self.rng.choice(self.alphabet)) for _ in range(k)
-                ).strip()
+                w = self._pseudo_word()
             if w:
                 parts.append(w)
                 length += len(w) + 1
