@@ -81,7 +81,7 @@ def test_box_scores_integral_image():
 
 def test_component_boxes_order_by_area():
     prob = make_prob_map()
-    boxes, areas, _scores = component_boxes(jnp.asarray(prob > 0.3), max_boxes=4)
+    boxes, areas, _scores, _angles = component_boxes(jnp.asarray(prob > 0.3), max_boxes=4)
     areas = np.array(areas)
     assert areas[0] >= areas[1] >= areas[2]
     assert areas[0] == 12 * 70  # second blob is biggest
@@ -91,7 +91,7 @@ def test_component_scores_are_pixel_means():
     prob = make_prob_map()
     hit = jnp.asarray(prob > 0.3)
     masked = jnp.where(hit, jnp.asarray(prob), 0.0)
-    boxes, areas, scores = component_boxes(
+    boxes, areas, scores, _angles = component_boxes(
         hit, max_boxes=4, pixel_prob_sum=masked,
         pixel_prob_cnt=hit.astype(jnp.float32),
     )
@@ -100,3 +100,49 @@ def test_component_scores_are_pixel_means():
     # the two blobs have uniform probs 0.8 and 0.9
     got = sorted(round(float(s), 4) for s, a in zip(scores, areas) if a > 100)
     assert got == [0.8, 0.9]
+
+
+def test_component_angle_from_rotated_bar():
+    """db_postprocess(with_angles=True) recovers the orientation of a
+    rotated text bar via second-moment PCA (reference stack: minAreaRect)."""
+    import numpy as np
+
+    H, W = 128, 256
+    angle_deg = 15.0
+    prob = np.zeros((H, W), np.float32)
+    t = np.radians(angle_deg)
+    # draw a rotated bar: points along the principal axis, thickness 6
+    for u in np.linspace(-80, 80, 400):
+        for v in np.linspace(-5, 5, 11):
+            x = int(round(128 + u * np.cos(t) - v * np.sin(t)))
+            y = int(round(64 + u * np.sin(t) + v * np.cos(t)))
+            if 0 <= x < W and 0 <= y < H:
+                prob[y, x] = 0.9
+    boxes, scores, valid, angles = db_postprocess(
+        jnp.asarray(prob[None]), max_boxes=4, pool=1, with_angles=True
+    )
+    k = int(np.argmax(np.asarray(valid[0])))
+    got = np.degrees(float(angles[0, k]))
+    assert abs(got - angle_deg) < 3.0, got
+
+
+def test_quads_from_boxes_roundtrip():
+    """Quad reconstruction inverts the bbox-of-rotated-rect relation."""
+    import numpy as np
+
+    from vse_tpu.ops.image import quads_from_boxes
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        w, h = rng.uniform(40, 300), rng.uniform(10, 40)
+        a = np.radians(rng.uniform(-30, 30))
+        cx, cy = rng.uniform(100, 400), rng.uniform(100, 200)
+        u = np.array([np.cos(a), np.sin(a)]) * w / 2
+        v = np.array([-np.sin(a), np.cos(a)]) * h / 2
+        c = np.array([cx, cy])
+        corners = np.stack([c - u - v, c + u - v, c + u + v, c - u + v])
+        bbox = np.array([corners[:, 0].min(), corners[:, 1].min(),
+                         corners[:, 0].max(), corners[:, 1].max()],
+                        np.float32)
+        quad = np.asarray(quads_from_boxes(jnp.asarray(bbox), jnp.asarray(a)))
+        np.testing.assert_allclose(quad, corners, atol=1.5)

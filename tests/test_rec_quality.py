@@ -1,0 +1,32 @@
+"""Hard quality gates on trained recognizer checkpoints.
+
+Skipped while a family has no trained checkpoint; once one is committed it
+must clear the CER bar on held-out synthetic crops (VERDICT r1: trained
+heads must be quality-gated). The eval renders with a seed never used in
+training."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+FAMILIES = ["en", "latin", "cyrillic", "el"]
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_rec_cer_gate(family):
+    from vse_tpu.core.config import Mode
+    from vse_tpu.core.registry import resolve
+
+    spec = resolve(family, Mode.FAST)
+    if not os.path.isdir(spec.rec_ckpt):
+        pytest.skip(f"no trained {family} checkpoint yet")
+
+    import eval_rec
+
+    result = eval_rec.evaluate(family, n=256)
+    assert "error" not in result, result
+    assert result["cer"] <= 0.05, result
+    assert result["exact_match"] >= 0.6, result

@@ -135,12 +135,26 @@ def component_boxes(
             score = psum / jnp.maximum(pcnt, 1.0)
         else:
             score = jnp.float32(0.0)
-        return box, score
+        # second moments -> principal-axis angle (the min-area-rect angle
+        # the reference stack gets from cv2.minAreaRect; for near-rect text
+        # components PCA and min-area-rect orientations coincide)
+        mf = mask.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(mf), 1.0)
+        fx = cols.astype(jnp.float32)
+        fy = rows.astype(jnp.float32)
+        mx = jnp.sum(mf * fx) / n
+        my = jnp.sum(mf * fy) / n
+        cxx = jnp.sum(mf * (fx - mx) ** 2) / n
+        cyy = jnp.sum(mf * (fy - my) ** 2) / n
+        cxy = jnp.sum(mf * (fx - mx) * (fy - my)) / n
+        angle = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
+        return box, score, angle
 
-    boxes, scores = jax.vmap(box_of)(top_idx)
+    boxes, scores, angles = jax.vmap(box_of)(top_idx)
     boxes = jnp.where((top_area > 0)[:, None], boxes, 0.0)
     scores = jnp.where(top_area > 0, scores, 0.0)
-    return boxes, top_area, scores
+    angles = jnp.where(top_area > 0, angles, 0.0)
+    return boxes, top_area, scores, angles
 
 
 def box_mean_scores(prob: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
@@ -179,7 +193,10 @@ def unclip_boxes(
     return out
 
 
-@partial(jax.jit, static_argnames=("max_boxes", "num_sweeps", "pool"))
+@partial(
+    jax.jit,
+    static_argnames=("max_boxes", "num_sweeps", "pool", "with_angles"),
+)
 def db_postprocess(
     prob: jnp.ndarray,
     max_boxes: int = 8,
@@ -189,11 +206,15 @@ def db_postprocess(
     min_area: int = 16,
     num_sweeps: int = 4,
     pool: int = 4,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_angles: bool = False,
+):
     """Batched DB postprocess on device.
 
     prob: [B, H, W] float map in [0, 1].
-    Returns (boxes [B, K, 4] xyxy float32, scores [B, K], valid [B, K] bool).
+    Returns (boxes [B, K, 4] xyxy float32, scores [B, K], valid [B, K] bool),
+    plus angles [B, K] (radians, component principal axis) when
+    `with_angles` — the reference stack's min-area-rect orientation
+    (consumed via get_rotate_crop_image, reference backend/tools/ocr.py:24-86).
     Thresholds match the PaddleOCR defaults the reference runs with.
 
     Connected components run on a `pool`x max-pooled binary map (a component
@@ -216,7 +237,7 @@ def db_postprocess(
             small = jnp.max(tiles_hit, axis=(1, 3))
             psum = jnp.sum(tiles_masked, axis=(1, 3))
             pcnt = jnp.sum(tiles_hit.astype(jnp.float32), axis=(1, 3))
-            boxes_s, areas_s, scores = component_boxes(
+            boxes_s, areas_s, scores, angles = component_boxes(
                 small, max_boxes, num_sweeps,
                 pixel_prob_sum=psum, pixel_prob_cnt=pcnt,
             )
@@ -234,16 +255,19 @@ def db_postprocess(
             min_area_cells = -(-min_area // (pool * pool))
             valid = (areas >= min_area_cells) & (scores > box_thresh)
         else:
-            boxes, areas, scores = component_boxes(
+            boxes, areas, scores, angles = component_boxes(
                 hit, max_boxes, num_sweeps,
                 pixel_prob_sum=masked, pixel_prob_cnt=hit.astype(jnp.float32),
             )
             valid = (areas >= min_area) & (scores > box_thresh)
         boxes = unclip_boxes(boxes, unclip_ratio, H, W)
         boxes = jnp.where(valid[:, None], boxes, 0.0)
-        return boxes, scores, valid
+        return boxes, scores, valid, angles
 
-    return jax.vmap(one)(prob)
+    boxes, scores, valid, angles = jax.vmap(one)(prob)
+    if with_angles:
+        return boxes, scores, valid, angles
+    return boxes, scores, valid
 
 
 # ---------------------------------------------------------------------------

@@ -174,6 +174,118 @@ def crop_and_rectify(
     return jax.vmap(crop_one)(quads)
 
 
+def quads_from_boxes(boxes_xyxy: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """Oriented quads from axis-aligned bboxes + principal-axis angles.
+
+    boxes: [..., 4] xyxy (the bounding box OF the rotated component);
+    angles: [...] radians. Inverts Wbb = w|cos| + h|sin|, Hbb = w|sin| +
+    h|cos| to recover the rotated rect's true (w, h), then emits corners
+    [..., 4, 2] clockwise from top-left (PaddleOCR quad convention).
+    Near |angle| = 45 deg the inversion degenerates — dims clamp to the
+    bbox (axis-aligned fallback)."""
+    x0, y0, x1, y1 = (boxes_xyxy[..., i] for i in range(4))
+    wbb = jnp.maximum(x1 - x0, 1.0)
+    hbb = jnp.maximum(y1 - y0, 1.0)
+    c = jnp.abs(jnp.cos(angles))
+    s = jnp.abs(jnp.sin(angles))
+    det = c * c - s * s  # cos(2a)
+    safe = jnp.abs(det) > 0.2
+    w = jnp.where(safe, (c * wbb - s * hbb) / jnp.where(safe, det, 1.0), wbb)
+    h = jnp.where(safe, (c * hbb - s * wbb) / jnp.where(safe, det, 1.0), hbb)
+    # a thin rotated bar's true length EXCEEDS its bbox width — the only
+    # hard upper bound is the bbox diagonal
+    diag = jnp.sqrt(wbb * wbb + hbb * hbb)
+    w = jnp.clip(w, 1.0, diag)
+    h = jnp.clip(h, 1.0, diag)
+    cx = (x0 + x1) / 2.0
+    cy = (y0 + y1) / 2.0
+    ca = jnp.cos(angles)
+    sa = jnp.sin(angles)
+    ux, uy = ca * w / 2.0, sa * w / 2.0
+    vx, vy = -sa * h / 2.0, ca * h / 2.0
+    corners = jnp.stack(
+        [
+            jnp.stack([cx - ux - vx, cy - uy - vy], axis=-1),
+            jnp.stack([cx + ux - vx, cy + uy - vy], axis=-1),
+            jnp.stack([cx + ux + vx, cy + uy + vy], axis=-1),
+            jnp.stack([cx - ux + vx, cy - uy + vy], axis=-1),
+        ],
+        axis=-2,
+    )
+    return corners
+
+
+def crop_quad_rectified_windowed(
+    image: jnp.ndarray, quad: jnp.ndarray, out_h: int, out_w: int,
+    window_rows: int = 288,
+) -> jnp.ndarray:
+    """Perspective-rectify one text quad with the PP-OCR rec aspect policy
+    (scale to height out_h, keep aspect, zero-pad right), sampling only a
+    `window_rows`-high band around the quad (same rationale as
+    `crop_axis_aligned_matmul_windowed` — bound the gather footprint).
+
+    The big area reduction happens via the cheap band slice; the irregular
+    affine sampling then touches a small tensor — the TPU-friendly split of
+    a rotation (not separable, so not a matmul pair like the axis-aligned
+    path)."""
+    H, W = image.shape[0], image.shape[1]
+    window_rows = min(window_rows, H)
+    ymin = jnp.min(quad[:, 1])
+    y_start = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, H - window_rows)
+    band = jax.lax.dynamic_slice(
+        image, (y_start, 0, 0), (window_rows, W, image.shape[2])
+    )
+    local = quad.at[:, 1].add(-y_start.astype(quad.dtype))
+    # quad side lengths -> aspect-preserved target width
+    qw = 0.5 * (
+        jnp.linalg.norm(local[1] - local[0]) + jnp.linalg.norm(local[2] - local[3])
+    )
+    qh = 0.5 * (
+        jnp.linalg.norm(local[3] - local[0]) + jnp.linalg.norm(local[2] - local[1])
+    )
+    qw = jnp.maximum(qw, 1.0)
+    qh = jnp.maximum(qh, 1.0)
+    target_w = jnp.minimum(jnp.float32(out_w), qw * out_h / qh)
+    # homography dst rect scaled to (target_w, out_h); built per-quad on
+    # device (dst is traced, so the DLT solve happens with dynamic values)
+    dst = jnp.stack(
+        [
+            jnp.stack([jnp.float32(0.0), jnp.float32(0.0)]),
+            jnp.stack([target_w - 1.0, jnp.float32(0.0)]),
+            jnp.stack([target_w - 1.0, jnp.float32(out_h - 1.0)]),
+            jnp.stack([jnp.float32(0.0), jnp.float32(out_h - 1.0)]),
+        ]
+    )
+    M = _perspective_matrix_dyn(dst, local.astype(jnp.float32))
+    yy = jnp.arange(out_h, dtype=jnp.float32)
+    xx = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xx, yy)
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)
+    mapped = grid @ M.T
+    xs = mapped[..., 0] / jnp.maximum(mapped[..., 2], 1e-6)
+    ys = mapped[..., 1] / jnp.maximum(mapped[..., 2], 1e-6)
+    sampled = _bilinear_sample_one(band, ys, xs)
+    pad = (gx < target_w)[..., None]
+    return jnp.where(pad, sampled, 0.0)
+
+
+def _perspective_matrix_dyn(src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+    """`_perspective_matrix` with a traced (non-static) source rect."""
+    A = []
+    b = []
+    for i in range(4):
+        x, y = src[i, 0], src[i, 1]
+        X, Y = tgt[i, 0], tgt[i, 1]
+        A.append(jnp.stack([x, y, 1.0, 0.0, 0.0, 0.0, -x * X, -y * X]))
+        b.append(X)
+        A.append(jnp.stack([0.0, 0.0, 0.0, x, y, 1.0, -x * Y, -y * Y]))
+        b.append(Y)
+    A = jnp.stack(A)
+    b = jnp.stack(b)
+    p = jnp.linalg.solve(A, b)
+    return jnp.concatenate([p, jnp.ones((1,), jnp.float32)]).reshape(3, 3)
+
+
 def crop_axis_aligned_matmul(
     image: jnp.ndarray, box_xyxy: jnp.ndarray, out_h: int, out_w: int
 ) -> jnp.ndarray:

@@ -95,6 +95,7 @@ class OcrEngine:
         mesh=None,
         decode: str = "greedy",
         beam_width: int = 8,
+        rectify: Optional[bool] = None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — frame
         batches shard across chips (each chip OCRs its own frames; params
@@ -156,6 +157,12 @@ class OcrEngine:
         self._fn_cache: dict = {}
         self.decode = decode
         self.beam_width = beam_width
+        # rotated-text handling: perspective-rectify oriented quads before
+        # rec (the reference stack always rectifies via
+        # get_rotate_crop_image; here the gather-based resample costs ~16x
+        # the axis-aligned matmul crop, so it is config-gated — subtitles
+        # are horizontal)
+        self.rectify = self.config.rec_rectify if rectify is None else rectify
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -250,11 +257,13 @@ class OcrEngine:
             cfg = self.config
             use_pallas_ctc = jax.default_backend() == "tpu"
 
+            rectify = self.rectify
+
             @jax.jit
             def run(det_params, rec_params, frames_u8):
                 x, inv_scale = letterbox_matmul(frames_u8, hd, wd)
                 prob = self.det_model.apply(det_params, x)
-                boxes, det_scores, valid = db_postprocess(
+                boxes, det_scores, valid, angles = db_postprocess(
                     prob,
                     max_boxes=self.max_boxes,
                     thresh=cfg.db_thresh,
@@ -262,6 +271,7 @@ class OcrEngine:
                     unclip_ratio=cfg.db_unclip_ratio,
                     pool=cfg.db_pool,
                     num_sweeps=cfg.db_sweeps,
+                    with_angles=True,
                 )
                 # det-canvas -> original frame coords, clamped on device
                 inv_y, inv_x = inv_scale
@@ -275,15 +285,34 @@ class OcrEngine:
                     axis=-1,
                 )
 
-                def per_frame(frame, fboxes):
-                    ff = frame.astype(jnp.float32)
-                    return jax.vmap(
-                        lambda b: crop_axis_aligned_matmul_windowed(
-                            ff, b, self.rec_h, self.rec_w
-                        )
-                    )(fboxes)
+                if rectify:
+                    from vse_tpu.ops.image import (
+                        crop_quad_rectified_windowed,
+                        quads_from_boxes,
+                    )
 
-                crops = jax.vmap(per_frame)(frames_u8, boxes)  # [B,K,h,w,3]
+                    quads = quads_from_boxes(boxes, angles)
+
+                    def per_frame(frame, fquads):
+                        ff = frame.astype(jnp.float32)
+                        return jax.vmap(
+                            lambda q: crop_quad_rectified_windowed(
+                                ff, q, self.rec_h, self.rec_w
+                            )
+                        )(fquads)
+
+                    crops = jax.vmap(per_frame)(frames_u8, quads)
+                else:
+
+                    def per_frame(frame, fboxes):
+                        ff = frame.astype(jnp.float32)
+                        return jax.vmap(
+                            lambda b: crop_axis_aligned_matmul_windowed(
+                                ff, b, self.rec_h, self.rec_w
+                            )
+                        )(fboxes)
+
+                    crops = jax.vmap(per_frame)(frames_u8, boxes)  # [B,K,h,w,3]
                 B, K = crops.shape[0], crops.shape[1]
                 crops = crops.reshape((B * K,) + crops.shape[2:])
                 crops = (crops / 255.0 - 0.5) / 0.5

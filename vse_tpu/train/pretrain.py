@@ -168,9 +168,29 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     eval_fn = jax.jit(
         lambda p, bs, x: rec.apply({"params": p, "batch_stats": bs}, x)
     )
+    from vse_tpu.core.registry import rec_ckpt_path
+
+    path = rec_ckpt_path(language, variant)
+    meta = {
+        "language": language,
+        "use_space_char": charset.use_space_char,
+        "fold_case": charset.fold_case,
+        "vocab_size": charset.vocab_size,
+        "variant": variant,
+    }
+
+    def checkpoint(step):
+        save_params(
+            {"params": params, "batch_stats": batch_stats}, path,
+            meta={**meta, "step": step},
+        )
+
     t0 = time.time()
     try:
         for i in range(steps):
+            # periodic saves: a wall-clock kill must not lose the run
+            if i > 0 and i % 1000 == 0:
+                checkpoint(i)
             if cache is not None:
                 # curriculum over the cache: start on a small clean prefix
                 # (batches are rendered clean->hard), widen to the full set
@@ -198,20 +218,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     finally:
         if stop is not None:
             stop.set()
-    from vse_tpu.core.registry import rec_ckpt_path
-
-    path = rec_ckpt_path(language, variant)
-    save_params(
-        {"params": params, "batch_stats": batch_stats},
-        path,
-        meta={
-            "language": language,
-            "use_space_char": charset.use_space_char,
-            "fold_case": charset.fold_case,
-            "vocab_size": charset.vocab_size,
-            "variant": variant,
-        },
-    )
+    checkpoint(steps)
     print(f"saved {path}")
     return path
 
