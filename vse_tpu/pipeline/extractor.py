@@ -47,6 +47,66 @@ CJK_RE = re.compile(r"[一-龥]")
 ProgressListener = Callable[[float, float], None]  # (frame_extract, ocr) 0-100
 
 
+class DetSpanTracker:
+    """Accurate-mode span state machine over a stream of per-frame OCR
+    results (the reference's serialized det->rec->compare loop, reference
+    backend/main.py:255-376, rebuilt as a feedable tracker so frames from
+    several videos can share device batches — results only need to arrive
+    in order PER VIDEO)."""
+
+    def __init__(self, extractor: "SubtitleExtractor"):
+        self.ex = extractor
+        self.thr = extractor.config.threshold_text_similarity / 100.0
+        self.span_head_text: Optional[str] = None
+        self.span_head_no = 0
+        self.span_head_result = None
+        self.prev_result = None  # (frame_no, dt_box, rec_res)
+        self.finding_end = False
+
+    def _close_span(self, end_no, end_result):
+        # record both edges (the reference enqueues start & end tasks)
+        if self.span_head_result is not None:
+            self.ex._gate_and_record(self.span_head_no, *self.span_head_result)
+        if end_result is not None and end_no != self.span_head_no:
+            self.ex._gate_and_record(end_no, *end_result)
+
+    def feed(self, frame_no: int, dt_box: list, rec_res: list) -> None:
+        ex = self.ex
+        has_subtitle = False
+        for quad in dt_box:
+            xmin = max(quad[0][0], quad[3][0])
+            xmax = min(quad[1][0], quad[2][0])
+            ymin = max(quad[0][1], quad[1][1])
+            ymax = min(quad[2][1], quad[3][1])
+            if ex.sub_area is None or ex.sub_area.contains_box(
+                xmin, xmax, ymin, ymax
+            ):
+                has_subtitle = True
+                break
+        if has_subtitle:
+            area_text = ex._area_text(dt_box, rec_res)
+            if not self.finding_end:
+                self.span_head_text = area_text
+                self.span_head_no = frame_no
+                self.span_head_result = (dt_box, rec_res)
+                self.finding_end = True
+            elif ratio(self.span_head_text, area_text) <= self.thr:
+                # subtitle changed: close at previous frame
+                self._close_span(self.prev_result[0], self.prev_result[1:3])
+                self.span_head_text = area_text
+                self.span_head_no = frame_no
+                self.span_head_result = (dt_box, rec_res)
+            self.prev_result = (frame_no, dt_box, rec_res)
+        elif self.finding_end and self.prev_result is not None:
+            self._close_span(self.prev_result[0], self.prev_result[1:3])
+            self.finding_end = False
+
+    def finish(self) -> None:
+        if self.finding_end and self.prev_result is not None:
+            self._close_span(self.prev_result[0], self.prev_result[1:3])
+            self.finding_end = False
+
+
 class SubtitleExtractor:
     """Extract hard subtitles from one video into an SRT file."""
 
@@ -303,11 +363,11 @@ class SubtitleExtractor:
         if manifest is not None:
             manifest.clear()
 
-    def extract_frame_by_keyframe(self) -> None:
-        """Keyframe scanner path (the reference's VideoSubFinder stage,
-        backend/main.py:378-505, rebuilt as the Pallas kernel): pass 1 scans
-        every frame's subtitle band for text presence/changes; pass 2 OCRs one
-        representative frame per span."""
+    def scan_keyframe_spans(self) -> list:
+        """Keyframe pass 1 (the reference's VideoSubFinder stage,
+        backend/main.py:378-505, rebuilt as the Pallas kernel): scan every
+        frame's subtitle band for text presence/changes, build the raw
+        timeline, and return the spans."""
         area = self.sub_area
         stream = FrameStream(self.video_path, batch_size=32, stride=1)
         all_stats: List[np.ndarray] = []
@@ -325,7 +385,7 @@ class SubtitleExtractor:
             self.update_progress(frame_extract=done * 100)
         self._frame_to_ms.update(stream.frame_to_ms)
         if not all_stats:
-            return
+            return []
         stats = np.concatenate(all_stats, axis=0)
         nos = np.concatenate(all_nos, axis=0)
         spans = find_spans(stats, nos, params)
@@ -341,30 +401,39 @@ class SubtitleExtractor:
                 )
             )
         self.use_keyframe_timeline = True
-        # pass 2: OCR one frame per span, all spans decoded in ONE sequential
-        # pass (read_frames) instead of per-span container seeks
-        from vse_tpu.video.decode import read_frames
+        return spans
 
-        wanted = [sp.start_frame - 1 for sp in spans]
-        decoded = read_frames(self.video_path, wanted)
-        rep_frames = []
-        keys = []
-        for sp, f in zip(spans, decoded):
-            if f is None:
-                continue
-            # AB-section gating happens on the REAL span frame number; the
-            # record key below is the reference's incommensurate timeline
-            # unit int(ms/fps)
+    def keyframe_rep_targets(self, spans) -> Tuple[List[int], List[int]]:
+        """Pass-2 targets: (decoder frame indices, timeline record keys),
+        AB-section-gated on the REAL span frame numbers. Record keys use the
+        reference's incommensurate timeline unit int(ms/fps)."""
+        area = self.sub_area
+        wanted: List[int] = []
+        keys: List[int] = []
+        for sp in spans:
             if (
                 area is not None
                 and area.ab_section is not None
                 and not area.ab_section.contains(sp.start_frame)
             ):
                 continue
-            rep_frames.append(f)
+            wanted.append(sp.start_frame - 1)
             # keyframe-timeline key convention: int(start_ms / fps); use the
             # same int(ms) the timeline cue stores so both sides agree
             keys.append(self.ms_to_frameno(int(self.frame_to_ms(sp.start_frame))))
+        return wanted, keys
+
+    def extract_frame_by_keyframe(self) -> None:
+        """Keyframe scanner path: pass 1 scans, pass 2 OCRs one representative
+        frame per span — all spans decoded in ONE sequential pass
+        (read_frames) instead of per-span container seeks."""
+        spans = self.scan_keyframe_spans()
+        from vse_tpu.video.decode import read_frames
+
+        wanted, keys = self.keyframe_rep_targets(spans)
+        decoded = read_frames(self.video_path, wanted)
+        rep_frames = [f for f in decoded if f is not None]
+        keys = [k for k, f in zip(keys, decoded) if f is not None]
         B = self.config.frame_batch
         for i in range(0, len(rep_frames), B):
             chunk = np.stack(rep_frames[i : i + B])
@@ -383,22 +452,10 @@ class SubtitleExtractor:
         #6): det runs batched over all frames; rec runs batched over only the
         text-bearing frames; the serial compare loop becomes host logic over
         cached strings."""
-        thr = self.config.threshold_text_similarity / 100.0
         stream = FrameStream(
             self.video_path, batch_size=self.config.frame_batch, stride=1
         )
-        span_head_text: Optional[str] = None
-        span_head_no = 0
-        span_head_result = None
-        prev_result = None  # (frame_no, dt_box, rec_res, area_text)
-        finding_end = False
-
-        def close_span(end_no, end_result):
-            # record both edges (the reference enqueues start & end tasks)
-            if span_head_result is not None:
-                self._gate_and_record(span_head_no, *span_head_result)
-            if end_result is not None and end_no != span_head_no:
-                self._gate_and_record(end_no, *end_result)
+        tracker = DetSpanTracker(self)
 
         from vse_tpu.pipeline.feed import device_prefetch
 
@@ -407,41 +464,10 @@ class SubtitleExtractor:
             results = self.engine.predict_batch(frames_dev)[:n_valid]
             for i in range(n_valid):
                 frame_no = int(batch.frame_nos[i])
-                dt_box, rec_res = results[i]
-                has_subtitle = False
-                for quad in dt_box:
-                    xmin = max(quad[0][0], quad[3][0])
-                    xmax = min(quad[1][0], quad[2][0])
-                    ymin = max(quad[0][1], quad[1][1])
-                    ymax = min(quad[2][1], quad[3][1])
-                    if self.sub_area is None or self.sub_area.contains_box(
-                        xmin, xmax, ymin, ymax
-                    ):
-                        has_subtitle = True
-                        break
-                if has_subtitle:
-                    area_text = self._area_text(dt_box, rec_res)
-                    if not finding_end:
-                        span_head_text = area_text
-                        span_head_no = frame_no
-                        span_head_result = (dt_box, rec_res)
-                        finding_end = True
-                    else:
-                        if ratio(span_head_text, area_text) <= thr:
-                            # subtitle changed: close at previous frame
-                            close_span(prev_result[0], prev_result[1:3])
-                            span_head_text = area_text
-                            span_head_no = frame_no
-                            span_head_result = (dt_box, rec_res)
-                    prev_result = (frame_no, dt_box, rec_res)
-                else:
-                    if finding_end and prev_result is not None:
-                        close_span(prev_result[0], prev_result[1:3])
-                        finding_end = False
+                tracker.feed(frame_no, *results[i])
                 done = frame_no / max(1, self.frame_count)
                 self.update_progress(frame_extract=done * 100, ocr=done * 100)
-        if finding_end and prev_result is not None:
-            close_span(prev_result[0], prev_result[1:3])
+        tracker.finish()
         self._frame_to_ms.update(stream.frame_to_ms)
 
     # --- orchestration ---------------------------------------------------------

@@ -83,6 +83,141 @@ def interleave_streams(
         yield TaggedBatch(frames, vids, nos, valid)
 
 
+def extract_many(
+    video_paths: Sequence[str],
+    sub_areas: Optional[Sequence] = None,
+    config: Optional[VseConfig] = None,
+    engine: Optional[OcrEngine] = None,
+    output_paths: Optional[Sequence[str]] = None,
+) -> Dict[str, str]:
+    """Full multi-video extraction with continuous batching in EVERY mode
+    (the reference runs one subprocess per video, strictly sequentially —
+    reference ui/home_interface.py:320-393; BASELINE config #5 wants shared
+    batches). Returns {video_path: srt_path}.
+
+    - fps mode: frames of all same-geometry videos interleave into shared
+      device batches.
+    - accurate mode: same interleaving; per-video DetSpanTracker state
+      machines consume the per-frame results (order only matters per video).
+    - fast/auto (keyframe) mode: the cheap scan pass runs per video; the
+      expensive OCR pass shares batches across ALL videos' span frames.
+    """
+    from vse_tpu.core.config import Mode
+    from vse_tpu.pipeline.extractor import DetSpanTracker, SubtitleExtractor
+
+    config = config or VseConfig()
+    n = len(video_paths)
+    sub_areas = list(sub_areas) if sub_areas is not None else [None] * n
+    extractors = []
+    for i, p in enumerate(video_paths):
+        ex = SubtitleExtractor(p, sub_area=sub_areas[i], config=config,
+                               engine=engine)
+        if engine is None:
+            engine = ex.engine  # share ONE engine across the queue
+        else:
+            ex._engine = engine
+        if output_paths is not None:
+            ex.subtitle_output_path = output_paths[i]
+        extractors.append(ex)
+
+    mode = config.mode
+    use_keyframe = mode != Mode.ACCURATE and all(
+        a is not None for a in sub_areas
+    )
+    if mode == Mode.ACCURATE and all(a is not None for a in sub_areas):
+        _many_accurate(extractors, engine, config)
+    elif use_keyframe:
+        _many_keyframe(extractors, engine, config)
+    else:
+        _many_fps(extractors, engine, config)
+
+    out = {}
+    for ex in extractors:
+        ex.generate_subtitle_file()
+        if config.word_segmentation:
+            from vse_tpu.post.reformat import execute as reformat_execute
+
+            reformat_execute(ex.subtitle_output_path, config.language)
+        ex.update_progress(100, 100)
+        out[ex.video_path] = ex.subtitle_output_path
+    return out
+
+
+def _geometry_groups(extractors):
+    groups: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    for i, ex in enumerate(extractors):
+        groups[(ex.frame_height, ex.frame_width)].append(i)
+    return groups
+
+
+def _many_fps(extractors, engine: OcrEngine, config: VseConfig) -> None:
+    for (h, w), ids in _geometry_groups(extractors).items():
+        streams = []
+        for i in ids:
+            ex = extractors[i]
+            stride = max(1, int(ex.fps // config.extract_frequency))
+            streams.append(FrameStream(ex.video_path,
+                                       batch_size=config.frame_batch,
+                                       stride=stride))
+        for batch in interleave_streams(streams, config.frame_batch):
+            nv = int(batch.valid.sum())
+            results = engine.predict_batch(batch.frames[:nv])
+            for k in range(nv):
+                ex = extractors[ids[int(batch.video_ids[k])]]
+                ex._gate_and_record(int(batch.frame_nos[k]), *results[k])
+        for i, s in zip(ids, streams):
+            extractors[i]._frame_to_ms.update(s.frame_to_ms)
+
+
+def _many_accurate(extractors, engine: OcrEngine, config: VseConfig) -> None:
+    from vse_tpu.pipeline.extractor import DetSpanTracker
+
+    for (h, w), ids in _geometry_groups(extractors).items():
+        streams = [
+            FrameStream(extractors[i].video_path,
+                        batch_size=config.frame_batch, stride=1)
+            for i in ids
+        ]
+        trackers = {i: DetSpanTracker(extractors[i]) for i in ids}
+        for batch in interleave_streams(streams, config.frame_batch):
+            nv = int(batch.valid.sum())
+            results = engine.predict_batch(batch.frames[:nv])
+            for k in range(nv):
+                vid = ids[int(batch.video_ids[k])]
+                trackers[vid].feed(int(batch.frame_nos[k]), *results[k])
+        for i, s in zip(ids, streams):
+            trackers[i].finish()
+            extractors[i]._frame_to_ms.update(s.frame_to_ms)
+
+
+def _many_keyframe(extractors, engine: OcrEngine, config: VseConfig) -> None:
+    from vse_tpu.video.decode import read_frames
+
+    # pass 1 per video (cheap stats kernel); pass 2 pooled across videos
+    todo = []  # (extractor, frame np.ndarray, record_key)
+    for ex in extractors:
+        spans = ex.scan_keyframe_spans()
+        wanted, keys = ex.keyframe_rep_targets(spans)
+        decoded = read_frames(ex.video_path, wanted)
+        for f, key in zip(decoded, keys):
+            if f is not None:
+                todo.append((ex, f, key))
+    # group by geometry so shapes share compiled buckets
+    by_shape: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    for idx, (_, f, _) in enumerate(todo):
+        by_shape[f.shape[:2]].append(idx)
+    B = config.frame_batch
+    for idxs in by_shape.values():
+        for i in range(0, len(idxs), B):
+            chunk_ids = idxs[i : i + B]
+            chunk = np.stack([todo[j][1] for j in chunk_ids])
+            results = engine.predict_batch(chunk)
+            for j, (dt_box, rec_res) in zip(chunk_ids, results):
+                ex, frame, key = todo[j]
+                ex._gate_and_record(key, dt_box, rec_res, frame=frame,
+                                    ab_checked=True)
+
+
 def extract_many_fps(
     video_paths: Sequence[str],
     engine: OcrEngine,

@@ -147,19 +147,8 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
             np.savez_compressed(ds_path, images=raw_imgs,
                                 texts=np.array(all_texts, object))
             print(f"dataset ready in {time.time() - t_gen:.0f}s -> {ds_path}")
-        # encode labels with the CURRENT charset (cache stores raw text)
-        cache = []
-        for bi in range(pregen):
-            sl = slice(bi * batch, (bi + 1) * batch)
-            imgs = ((raw_imgs[sl].astype(np.float32) / 255.0) - 0.5) / 0.5
-            texts = [str(t) for t in all_texts[sl]]
-            labels = np.zeros((batch, cfg.max_label_len), np.int32)
-            lengths = np.zeros((batch,), np.int32)
-            for k, t in enumerate(texts):
-                ids = charset.encode(t)[: cfg.max_label_len] or [1]
-                labels[k, : len(ids)] = ids
-                lengths[k] = len(ids)
-            cache.append((imgs, labels, lengths, texts))
+        all_texts = [str(t) for t in all_texts]
+        cache = (raw_imgs, all_texts)
         q = stop = None
     else:
         q, stop = _prefetch(make_batch)
@@ -185,6 +174,46 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
             meta={**meta, "step": step},
         )
 
+    aug_rng = np.random.default_rng(seed + 13)
+
+    def _augment(imgs_u8: np.ndarray) -> np.ndarray:
+        """Cheap per-step photometric jitter over cached renders: without it
+        a ~40k-sample cache is memorized within a few epochs (observed:
+        train loss 3e-4 while FRESH-sample CER sat at 0.50)."""
+        x = imgs_u8.astype(np.float32)
+        n = x.shape[0]
+        gain = aug_rng.uniform(0.7, 1.3, size=(n, 1, 1, 1)).astype(np.float32)
+        bias = aug_rng.uniform(-30, 30, size=(n, 1, 1, 1)).astype(np.float32)
+        chan = aug_rng.uniform(0.9, 1.1, size=(n, 1, 1, 3)).astype(np.float32)
+        x = (x - 127.5) * gain + 127.5 + bias
+        x = x * chan
+        x += aug_rng.normal(0, aug_rng.uniform(0, 8), size=x.shape)
+        # random horizontal shift (text position jitter)
+        shift = int(aug_rng.integers(0, 9))
+        if shift:
+            x = np.roll(x, shift, axis=2)
+            x[:, :, :shift] = x[:, :, shift : shift + 1]
+        return np.clip(x, 0, 255)
+
+    def _cache_batch(i: int):
+        raw_imgs, all_texts = cache
+        total = len(all_texts)
+        # curriculum: samples are rendered clean->hard; start on the clean
+        # prefix, cover everything by 40% of training. Indices are RANDOM
+        # within the window (fixed batch groupings get memorized too).
+        frac = min(1.0, i / max(1, steps * 0.4))
+        window = max(batch * 8, int(total * frac))
+        idx = aug_rng.integers(0, min(window, total), size=batch)
+        imgs = (_augment(raw_imgs[idx]) / 255.0 - 0.5) / 0.5
+        texts = [all_texts[k] for k in idx]
+        labels = np.zeros((batch, cfg.max_label_len), np.int32)
+        lengths = np.zeros((batch,), np.int32)
+        for k, t in enumerate(texts):
+            ids = charset.encode(t)[: cfg.max_label_len] or [1]
+            labels[k, : len(ids)] = ids
+            lengths[k] = len(ids)
+        return imgs.astype(np.float32), labels, lengths, texts
+
     t0 = time.time()
     try:
         for i in range(steps):
@@ -192,12 +221,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
             if i > 0 and i % 1000 == 0:
                 checkpoint(i)
             if cache is not None:
-                # curriculum over the cache: start on a small clean prefix
-                # (batches are rendered clean->hard), widen to the full set
-                # by 60% of training
-                frac = min(1.0, i / max(1, steps * 0.6))
-                window = max(32, int(len(cache) * frac))
-                imgs, labels, lengths, texts = cache[i % min(window, len(cache))]
+                imgs, labels, lengths, texts = _cache_batch(i)
             else:
                 difficulty["value"] = min(1.0, 2.0 * i / max(1, steps))
                 imgs, labels, lengths, texts = q.get()
