@@ -2,6 +2,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from vse_tpu.ops.db_postprocess import (
     box_mean_scores,
     component_boxes,

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from vse_tpu.core.accelerator import Accelerator
 from vse_tpu.core.config import Mode, VseConfig
 from vse_tpu.pipeline.ocr_engine import OcrEngine

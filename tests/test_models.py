@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from vse_tpu.models.crnn import CRNNRecognizer
 from vse_tpu.models.db_detector import DBDetector
 

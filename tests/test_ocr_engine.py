@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from vse_tpu.core.config import Mode, VseConfig
 from vse_tpu.core.registry import resolve
 from vse_tpu.pipeline.ocr_engine import OcrEngine, sort_into_lines, y_round

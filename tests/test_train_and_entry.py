@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from vse_tpu.core.charset import get_charset
 from vse_tpu.train.losses import balanced_bce, db_loss, dice_loss, masked_l1
 from vse_tpu.train.synth import SynthConfig, TextRenderer
