@@ -184,9 +184,16 @@ def find_spans(
     changed within a continuous text region). Spans shorter than
     `sub_frame_length` scanned frames are dropped (VSF's sub_frame_length
     semantic, general.cfg:23).
+
+    The spike threshold adapts to the video's baseline motion (median
+    temporal diff): on noisy/busy backgrounds every frame clears a fixed
+    threshold and spans shatter into sub-minimum fragments (observed: zero
+    spans on a noise-textured video whose text signal was 40x background).
     """
     has_text = stats[:, 1] > p.text_cell_frac
-    diff_spike = stats[:, 2] > p.change_threshold
+    baseline = float(np.median(stats[:, 2])) if len(stats) else 0.0
+    spike_thresh = max(p.change_threshold, 2.5 * baseline)
+    diff_spike = stats[:, 2] > spike_thresh
     spans: List[Span] = []
     start = None
     for t in range(len(stats)):

@@ -174,6 +174,26 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
             meta={**meta, "step": step},
         )
 
+    # resume: pick up params/opt state from a prior periodic checkpoint of
+    # the same run shape (wall-clock-killed runs otherwise restart cold)
+    start_step = 0
+    if os.path.isdir(path):
+        prior_meta = None
+        from vse_tpu.core.registry import load_meta, load_params
+
+        prior_meta = load_meta(path)
+        if prior_meta and prior_meta.get("vocab_size") == charset.vocab_size:
+            try:
+                restored = load_params(
+                    path, like={"params": params, "batch_stats": batch_stats}
+                )
+                params = restored["params"]
+                batch_stats = restored["batch_stats"]
+                start_step = int(prior_meta.get("step", 0))
+                print(f"resuming {path} from step {start_step}")
+            except Exception as e:
+                print(f"resume failed ({e}); training from scratch")
+
     aug_rng = np.random.default_rng(seed + 13)
 
     def _augment(imgs_u8: np.ndarray) -> np.ndarray:
@@ -214,14 +234,32 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
             lengths[k] = len(ids)
         return imgs.astype(np.float32), labels, lengths, texts
 
+    # overlap host batch assembly/augmentation with the device step
+    cache_q: "queue.Queue" = queue.Queue(maxsize=4)
+    cache_stop = threading.Event()
+    if cache is not None:
+        def _cache_feeder():
+            for i in range(start_step, steps):
+                b = _cache_batch(i)
+                while not cache_stop.is_set():
+                    try:
+                        cache_q.put(b, timeout=1)
+                        break
+                    except queue.Full:
+                        continue
+                if cache_stop.is_set():
+                    return
+
+        threading.Thread(target=_cache_feeder, daemon=True).start()
+
     t0 = time.time()
     try:
-        for i in range(steps):
+        for i in range(start_step, steps):
             # periodic saves: a wall-clock kill must not lose the run
             if i > 0 and i % 1000 == 0:
                 checkpoint(i)
             if cache is not None:
-                imgs, labels, lengths, texts = _cache_batch(i)
+                imgs, labels, lengths, texts = cache_q.get()
             else:
                 difficulty["value"] = min(1.0, 2.0 * i / max(1, steps))
                 imgs, labels, lengths, texts = q.get()
@@ -240,6 +278,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
                     f"pred={preds[0]!r} gt={texts[0]!r}"
                 )
     finally:
+        cache_stop.set()
         if stop is not None:
             stop.set()
     checkpoint(steps)
@@ -249,7 +288,10 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
 
 def train_det(steps: int, batch: int, lr: float, seed: int,
               variant: str = "mobile", log_every: int = 25,
-              det_h: int = 256, det_w: int = 448) -> str:
+              det_h: int = 256, det_w: int = 448, pregen: int = 0) -> str:
+    """`pregen` > 0: render that many frames once (disk-cached) and sample
+    randomly with photometric jitter — the 1-core host otherwise starves the
+    TPU (same fix as train_rec's cache mode)."""
     charset = get_charset("en")
     cfg = SynthConfig(det_h=det_h, det_w=det_w)
     det = DBDetector(variant=variant, train_outputs=True, dtype=jnp.float32)
@@ -295,12 +337,65 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
             "gt_thresh_mask": b["gt_thresh_mask"],
         }
 
-    q, stop = _prefetch(make_batch)
+    if pregen > 0:
+        ds_path = f"/tmp/vse_det_ds_{pregen}_{det_h}x{det_w}.npz"
+        if os.path.exists(ds_path):
+            print(f"loading cached det dataset {ds_path}")
+            z = np.load(ds_path)
+            ds = {k: z[k] for k in z.files}
+        else:
+            print(f"pre-rendering {pregen} det frames...")
+            r = TextRenderer(charset, cfg, seed=seed)
+            frames, shr, shm, th, thm = [], [], [], [], []
+            t_g = time.time()
+            for _ in range(pregen):
+                img, boxes = r.render_frame()
+                lab = r.det_labels(boxes)
+                frames.append(img)
+                shr.append(lab["gt_shrink"])
+                shm.append(lab["gt_shrink_mask"])
+                th.append(lab["gt_thresh"])
+                thm.append(lab["gt_thresh_mask"])
+            ds = {
+                "images": np.stack(frames),
+                "gt_shrink": np.stack(shr).astype(np.float16),
+                "gt_shrink_mask": np.stack(shm).astype(np.float16),
+                "gt_thresh": np.stack(th).astype(np.float16),
+                "gt_thresh_mask": np.stack(thm).astype(np.float16),
+            }
+            np.savez_compressed(ds_path, **ds)
+            print(f"det dataset ready in {time.time()-t_g:.0f}s -> {ds_path}")
+        aug_rng = np.random.default_rng(seed + 29)
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+
+        def cache_batch(_wid=None):
+            idx = aug_rng.integers(0, len(ds["images"]), size=batch)
+            x = ds["images"][idx].astype(np.float32)
+            gain = aug_rng.uniform(0.75, 1.25, size=(batch, 1, 1, 1))
+            bias = aug_rng.uniform(-25, 25, size=(batch, 1, 1, 1))
+            x = np.clip((x - 127.5) * gain + 127.5 + bias
+                        + aug_rng.normal(0, 5, size=x.shape), 0, 255)
+            x = (x / 255.0 - mean) / std
+            return {
+                "det_images": x.astype(np.float32),
+                "gt_shrink": ds["gt_shrink"][idx].astype(np.float32),
+                "gt_shrink_mask": ds["gt_shrink_mask"][idx].astype(np.float32),
+                "gt_thresh": ds["gt_thresh"][idx].astype(np.float32),
+                "gt_thresh_mask": ds["gt_thresh_mask"][idx].astype(np.float32),
+            }
+
+        q, stop = _prefetch(cache_batch, depth=4, workers=1)
+    else:
+        q, stop = _prefetch(make_batch)
     params = variables["params"]
     batch_stats = {k: v for k, v in variables.items() if k != "params"}
     t0 = time.time()
     try:
         for i in range(steps):
+            if i > 0 and i % 500 == 0:
+                save_params({"params": params, **batch_stats},
+                            f"{models_root()}/det_{variant}")
             hb = {k: jnp.asarray(v) for k, v in q.get().items()}
             params, mut, opt_state, loss, metrics = step_fn(
                 params, batch_stats, opt_state, hb
@@ -336,6 +431,8 @@ def main():
     pr.add_argument("--use-space", action="store_true", dest="use_space",
                     help="keep the space class (slower convergence)")
     pd = sub.add_parser("det")
+    pd.add_argument("--pregen", type=int, default=0,
+                    help="pre-render N frames and sample from the cache")
     pd.add_argument("--steps", type=int, default=1500)
     pd.add_argument("--batch", type=int, default=16)
     pd.add_argument("--lr", type=float, default=5e-4)
@@ -346,7 +443,8 @@ def main():
         train_rec(args.language, args.steps, args.batch, args.lr, args.seed,
                   args.variant, pregen=args.pregen, use_space=args.use_space)
     else:
-        train_det(args.steps, args.batch, args.lr, args.seed, args.variant)
+        train_det(args.steps, args.batch, args.lr, args.seed, args.variant,
+                  pregen=args.pregen)
 
 
 if __name__ == "__main__":
