@@ -46,13 +46,31 @@ def unite_coordinates(
         )
 
     coords = list(coords)
+    tx = max(1, tolerant_pixel_x)
+    ty = max(1, tolerant_pixel_y)
+    # grid bucket by quantized coordinates: similar coords differ by < tol
+    # per component, so a match's cell index differs by at most 1 per axis —
+    # candidates live in the 3^4 neighboring cells
+    from collections import defaultdict
+
+    cells = defaultdict(list)  # cell -> [(index, coord)]
+    for i, c in enumerate(coords):
+        cells[(c[0] // tx, c[1] // tx, c[2] // ty, c[3] // ty)].append((i, c))
+
     out: List[Coord] = []
     for c in coords:
-        rep = c
-        for cand in coords:
-            if similar(c, cand):
-                rep = cand  # last similar wins, as in the reference
-        out.append(rep)
+        k = (c[0] // tx, c[1] // tx, c[2] // ty, c[3] // ty)
+        best_i, rep = -1, c
+        for d0 in (-1, 0, 1):
+            for d1 in (-1, 0, 1):
+                for d2 in (-1, 0, 1):
+                    for d3 in (-1, 0, 1):
+                        for i, cand in cells.get(
+                            (k[0] + d0, k[1] + d1, k[2] + d2, k[3] + d3), ()
+                        ):
+                            if i > best_i and similar(c, cand):
+                                best_i, rep = i, cand
+        out.append(rep)  # last similar wins, as in the reference
     return out
 
 
