@@ -135,11 +135,30 @@ class _NativeRing:
             pass
 
 
+_native_build_attempted = False
+
+
 def native_available() -> bool:
-    so = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "native", "libvse_native.so",
+    """The C++ ring buffer library, self-building on first use (the .so is
+    a build artifact, not committed; `make` in vse_tpu/native compiles it
+    in ~1s with the baked-in g++)."""
+    global _native_build_attempted
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
     )
+    so = os.path.join(native_dir, "libvse_native.so")
+    if os.path.exists(so):
+        return True
+    if not _native_build_attempted:
+        _native_build_attempted = True
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make"], cwd=native_dir, capture_output=True, timeout=60
+            )
+        except Exception:
+            pass
     return os.path.exists(so)
 
 
