@@ -54,3 +54,48 @@ def test_service_marks_failed(tmp_path):
     svc.run_all(block=True)
     assert t.status == TaskStatus.FAILED
     assert t.error
+
+
+def test_stop_cancels_mid_video(tmp_path):
+    """stop() interrupts the CURRENT video between batches (the reference
+    kills the child process; in-process the extractor raises
+    ExtractionCancelled and the task surfaces FAILED)."""
+    import threading
+    import time
+
+    import numpy as np
+    cv2 = pytest.importorskip("cv2")
+
+    from vse_tpu.core.config import Mode, VseConfig
+    from vse_tpu.pipeline.service import ExtractionService, TaskStatus
+
+    video = str(tmp_path / "long.mp4")
+    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (64, 48))
+    for _ in range(400):
+        vw.write(np.zeros((48, 64, 3), np.uint8))
+    vw.release()
+
+    class SlowEngine:
+        class _Spec:
+            rec_family = "en"
+        spec = _Spec()
+        def predict_batch(self, frames):
+            time.sleep(0.2)  # make each batch slow enough to interrupt
+            return [([], []) for _ in range(len(frames))]
+
+    svc = ExtractionService(
+        config=VseConfig(language="en", mode=Mode.FAST, word_segmentation=False)
+    )
+    svc._engine = SlowEngine()
+    t = svc.add_task(video, output_path=str(tmp_path / "o.srt"))
+    svc.run_all(block=False)
+    # wait until the video is actually processing, then stop mid-run
+    for _ in range(100):
+        if t.status == TaskStatus.PROCESSING and t.progress > 0:
+            break
+        time.sleep(0.05)
+    svc.stop()
+    svc._worker.join(timeout=30)
+    assert not svc._worker.is_alive()
+    assert t.status == TaskStatus.FAILED
+    assert "Cancelled" in (t.error or "") or "cancel" in (t.error or "").lower()

@@ -47,6 +47,12 @@ CJK_RE = re.compile(r"[一-龥]")
 ProgressListener = Callable[[float, float], None]  # (frame_extract, ocr) 0-100
 
 
+class ExtractionCancelled(Exception):
+    """Raised between batches when `SubtitleExtractor.cancel` is set (the
+    in-process equivalent of the reference's ProcessManager kill,
+    reference backend/tools/process_manager.py:116-126)."""
+
+
 class DetSpanTracker:
     """Accurate-mode span state machine over a stream of per-frame OCR
     results (the reference's serialized det->rec->compare loop, reference
@@ -143,6 +149,8 @@ class SubtitleExtractor:
         )
         self.use_keyframe_timeline = False
         self.resume = resume
+        # cooperative mid-run cancellation, checked between device batches
+        self.cancel = threading.Event()
 
     # --- reference-parity helpers -------------------------------------------
 
@@ -342,6 +350,8 @@ class SubtitleExtractor:
 
         batches_since_save = 0
         for batch, frames_dev in device_prefetch(stream):
+            if self.cancel.is_set():
+                raise ExtractionCancelled(self.video_path)
             n_valid = int(batch.valid.sum())
             results = self.engine.predict_batch(frames_dev)[:n_valid]
             for i in range(n_valid):
@@ -374,6 +384,8 @@ class SubtitleExtractor:
         all_nos: List[np.ndarray] = []
         params = ScanParams()
         for batch in stream:
+            if self.cancel.is_set():
+                raise ExtractionCancelled(self.video_path)
             n_valid = int(batch.valid.sum())
             frames = batch.frames[:n_valid]
             if area is not None:
@@ -436,6 +448,8 @@ class SubtitleExtractor:
         keys = [k for k, f in zip(keys, decoded) if f is not None]
         B = self.config.frame_batch
         for i in range(0, len(rep_frames), B):
+            if self.cancel.is_set():
+                raise ExtractionCancelled(self.video_path)
             chunk = np.stack(rep_frames[i : i + B])
             results = self.engine.predict_batch(chunk)
             for j, (dt_box, rec_res) in enumerate(results):
@@ -460,6 +474,8 @@ class SubtitleExtractor:
         from vse_tpu.pipeline.feed import device_prefetch
 
         for batch, frames_dev in device_prefetch(stream):
+            if self.cancel.is_set():
+                raise ExtractionCancelled(self.video_path)
             n_valid = int(batch.valid.sum())
             results = self.engine.predict_batch(frames_dev)[:n_valid]
             for i in range(n_valid):

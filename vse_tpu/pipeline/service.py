@@ -68,6 +68,7 @@ class ExtractionService:
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        self._current_ex: Optional[SubtitleExtractor] = None
 
     def add_task(self, video_path: str, sub_area: Optional[SubtitleArea] = None,
                  output_path: Optional[str] = None) -> ExtractionTask:
@@ -88,9 +89,12 @@ class ExtractionService:
 
     def stop(self) -> None:
         """Cooperative stop (the reference escalates terminate->kill on real
-        processes, process_manager.py:116-126; in-process we cancel between
-        videos)."""
+        processes, process_manager.py:116-126): cancels the CURRENT video
+        between device batches and drains no further tasks."""
         self._stop.set()
+        ex = self._current_ex
+        if ex is not None:
+            ex.cancel.set()
 
     def _emit_log(self, task, msg):
         if self.callbacks.on_log:
@@ -112,6 +116,7 @@ class ExtractionService:
                     config=self.config,
                     engine=self._engine,
                 )
+                self._current_ex = ex
                 if task.output_path:
                     ex.subtitle_output_path = task.output_path
 
@@ -134,3 +139,5 @@ class ExtractionService:
                 task.error = f"{e}\n{traceback.format_exc()}"
                 if self.callbacks.on_error:
                     self.callbacks.on_error(task, str(e))
+            finally:
+                self._current_ex = None
