@@ -36,7 +36,9 @@ def run_mode(mode: str, language: str, video: str, ref_srt: str, workdir: str):
     from vse_tpu.eval import evaluate_files
     from vse_tpu.pipeline.extractor import SubtitleExtractor
 
-    cfg = VseConfig(language=language, mode=Mode(mode), word_segmentation=False)
+    # product defaults: word segmentation ON — the no-space CTC heads rely
+    # on the reformat stage to re-split words (vse_tpu/train/pretrain.py)
+    cfg = VseConfig(language=language, mode=Mode(mode))
     area = SubtitleArea.from_ratios("0.80,0.99,0.05,0.95", 960, 540)
     ex = SubtitleExtractor(video, sub_area=area, config=cfg)
     ex.subtitle_output_path = os.path.join(workdir, f"out_{mode}.srt")

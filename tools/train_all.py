@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""One-command training of every head the available fonts can render.
+
+Trains, in order: mobile rec heads for each renderable script family, the
+server det, and the en server rec (accurate mode). Each step resumes from
+periodic checkpoints, so the script is safe to re-run after interruptions;
+families whose checkpoint already passes the CER gate are skipped.
+
+  python tools/train_all.py                 # everything trainable
+  python tools/train_all.py --families en   # subset
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vse_jax_cache")
+
+# families with usable DejaVu coverage (see vse_tpu/train/synth.py's
+# font_covered_chars; CJK/devanagari/thai/ta/te need a covering TTF dropped
+# into the matplotlib font dir)
+DEFAULT_FAMILIES = ["en", "latin", "cyrillic", "el"]
+CER_GATE = 0.05
+
+
+def rec_ok(family: str) -> bool:
+    from vse_tpu.core.config import Mode
+    from vse_tpu.core.registry import resolve
+
+    spec = resolve(family, Mode.FAST)
+    if not os.path.isdir(spec.rec_ckpt):
+        return False
+    import eval_rec
+
+    r = eval_rec.evaluate(family, n=128)
+    print(f"[gate] {family}: {r}")
+    return "error" not in r and r["cer"] <= CER_GATE
+
+
+def run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, cwd=REPO, check=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", nargs="*", default=DEFAULT_FAMILIES)
+    ap.add_argument("--steps", type=int, default=16000)
+    ap.add_argument("--pregen", type=int, default=600)
+    ap.add_argument("--det-steps", type=int, default=3000, dest="det_steps")
+    ap.add_argument("--skip-server", action="store_true")
+    args = ap.parse_args()
+
+    py = sys.executable
+    for fam in args.families:
+        if rec_ok(fam):
+            print(f"[skip] {fam}: checkpoint already clears CER {CER_GATE}")
+            continue
+        run([py, "-m", "vse_tpu.train.pretrain", "rec", "--language", fam,
+             "--steps", str(args.steps), "--batch", "64",
+             "--pregen", str(args.pregen)])
+    if not args.skip_server:
+        run([py, "-m", "vse_tpu.train.pretrain", "det", "--variant", "server",
+             "--steps", str(args.det_steps), "--pregen", "2400"])
+        run([py, "-m", "vse_tpu.train.pretrain", "rec", "--language", "en",
+             "--variant", "server", "--steps", str(args.steps),
+             "--batch", "64", "--pregen", str(args.pregen)])
+
+
+if __name__ == "__main__":
+    main()

@@ -317,6 +317,26 @@ class Segmenter:
         for rank, w in enumerate(_COMMON, start=1):
             # Zipf pseudo-counts anchored near the real frequency scale
             self.unigrams[w] = 2.2e10 / rank
+        # subtitle-domain + conversational supplement (the base list is a
+        # written-register corpus; hard subtitles skew conversational)
+        for w in ("subtitle", "ok", "okay", "yeah", "hey", "gonna", "wanna",
+                  "gotta", "dont", "cant", "wont", "didnt", "isnt", "im",
+                  "ive", "youre", "thats", "whats", "lets"):
+            self.unigrams.setdefault(w, 2.2e10 / (n / 2))
+        # regular inflections at a discount: the base list is ~3k lemmas, so
+        # plurals/participles ('jumps', 'subtitles') were OOV and the
+        # Viterbi path preferred leaving chunks unsplit
+        for w, c in list(self.unigrams.items()):
+            forms = {w + "s": c / 4.0, w + "es": c / 8.0, w + "ed": c / 6.0,
+                     w + "ing": c / 6.0}
+            if w.endswith("e"):
+                forms[w[:-1] + "ing"] = c / 6.0
+                forms[w + "d"] = c / 6.0
+            if w.endswith("y") and len(w) > 2:
+                forms[w[:-1] + "ies"] = c / 6.0
+            for f, fc in forms.items():
+                if f not in self.unigrams:
+                    self.unigrams[f] = fc
         path = corpus_path or os.environ.get("VSE_UNIGRAMS")
         if path and os.path.exists(path):
             with open(path, "r", encoding="utf-8") as f:
