@@ -56,6 +56,47 @@ def _prefetch(make_batch, depth=8, workers=6):
     return q, stop
 
 
+def _rec_train_charset(language: str, use_space: bool, fold_case: bool):
+    charset = get_charset(language)
+    if fold_case and charset.name in ("en", "latin", "cyrillic", "el"):
+        charset = charset.folded()
+    if not use_space:
+        charset = charset.without_space()
+    return charset
+
+
+def load_or_render_rec_dataset(language: str, pregen: int, batch: int,
+                               seed: int = 0, use_space: bool = False,
+                               fold_case: bool = True):
+    """Disk-cached rendered rec dataset (host-only — safe to run while the
+    TPU is busy; `python -m vse_tpu.train.pretrain render ...`)."""
+    charset = _rec_train_charset(language, use_space, fold_case)
+    cfg = SynthConfig(words_only=True, fixed_stroke=2)
+    ds_path = (
+        f"/tmp/vse_rec_ds_{language}_{pregen}x{batch}"
+        f"_w{int(cfg.words_only)}s{cfg.fixed_stroke}.npz"
+    )
+    if os.path.exists(ds_path):
+        print(f"loading cached dataset {ds_path}")
+        z = np.load(ds_path, allow_pickle=True)
+        raw_imgs, all_texts = z["images"], z["texts"]
+    else:
+        print(f"pre-rendering {pregen} batches x {batch}...", flush=True)
+        t_gen = time.time()
+        raw_list, all_texts = [], []
+        r = TextRenderer(charset, cfg, seed=seed)
+        for bi in range(pregen * batch):
+            r.cfg.difficulty = min(1.0, 2.0 * bi / max(1, pregen * batch))
+            img, text = r.render_line()
+            raw_list.append(img)
+            all_texts.append(text)
+        raw_imgs = np.stack(raw_list)
+        np.savez_compressed(ds_path, images=raw_imgs,
+                            texts=np.array(all_texts, object))
+        print(f"dataset ready in {time.time() - t_gen:.0f}s -> {ds_path}")
+    return raw_imgs, [str(t) for t in all_texts]
+
+
 def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
               variant: str = "mobile", log_every: int = 50,
               pregen: int = 0, use_space: bool = False,
@@ -69,11 +110,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     plateaus at loss 33 where wordwise reaches 9); the word-segmentation
     reformat re-splits at output time. The choice is recorded in the
     checkpoint's vse_meta.json so the engine builds the matching charset."""
-    charset = get_charset(language)
-    if fold_case and charset.name in ("en", "latin", "cyrillic", "el"):
-        charset = charset.folded()
-    if not use_space:
-        charset = charset.without_space()
+    charset = _rec_train_charset(language, use_space, fold_case)
     # subtitle-domain profile: real words with burned-in outlines
     cfg = SynthConfig(words_only=True, fixed_stroke=2)
     # fp32 activations for training: bf16 stalls CTC convergence (measured:
@@ -125,29 +162,10 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
 
     cache = None
     if pregen > 0:
-        ds_path = (
-            f"/tmp/vse_rec_ds_{language}_{pregen}x{batch}"
-            f"_w{int(cfg.words_only)}s{cfg.fixed_stroke}.npz"
+        raw_imgs, all_texts = load_or_render_rec_dataset(
+            language, pregen, batch, seed,
+            use_space=use_space, fold_case=fold_case,
         )
-        if os.path.exists(ds_path):
-            print(f"loading cached dataset {ds_path}")
-            z = np.load(ds_path, allow_pickle=True)
-            raw_imgs, all_texts = z["images"], z["texts"]
-        else:
-            print(f"pre-rendering {pregen} batches x {batch}...")
-            t_gen = time.time()
-            raw_list, all_texts = [], []
-            r = TextRenderer(charset, cfg, seed=seed)
-            for bi in range(pregen * batch):
-                r.cfg.difficulty = min(1.0, 2.0 * bi / max(1, pregen * batch))
-                img, text = r.render_line()
-                raw_list.append(img)
-                all_texts.append(text)
-            raw_imgs = np.stack(raw_list)
-            np.savez_compressed(ds_path, images=raw_imgs,
-                                texts=np.array(all_texts, object))
-            print(f"dataset ready in {time.time() - t_gen:.0f}s -> {ds_path}")
-        all_texts = [str(t) for t in all_texts]
         cache = (raw_imgs, all_texts)
         q = stop = None
     else:
@@ -430,6 +448,11 @@ def main():
                     help="pre-render N batches and epoch over them")
     pr.add_argument("--use-space", action="store_true", dest="use_space",
                     help="keep the space class (slower convergence)")
+    pren = sub.add_parser("render", help="host-only dataset pre-render")
+    pren.add_argument("--language", default="en")
+    pren.add_argument("--pregen", type=int, default=600)
+    pren.add_argument("--batch", type=int, default=64)
+    pren.add_argument("--seed", type=int, default=0)
     pd = sub.add_parser("det")
     pd.add_argument("--pregen", type=int, default=0,
                     help="pre-render N frames and sample from the cache")
@@ -439,6 +462,10 @@ def main():
     pd.add_argument("--seed", type=int, default=0)
     pd.add_argument("--variant", default="mobile", choices=["mobile", "server"])
     args = ap.parse_args()
+    if args.what == "render":
+        load_or_render_rec_dataset(args.language, args.pregen, args.batch,
+                                   args.seed)
+        return
     if args.what == "rec":
         train_rec(args.language, args.steps, args.batch, args.lr, args.seed,
                   args.variant, pregen=args.pregen, use_space=args.use_space)
