@@ -52,7 +52,7 @@ class FakeEngine:
             return None
         # recover segment id from stripe phase
         cols = np.nonzero(band[0, :, 0] > 128)[0]
-        seg = (cols[0] - 20) // 3
+        seg = max(0, (cols[0] - 20) // 3)
         return self.texts[min(seg, len(self.texts) - 1)]
 
     def predict_batch(self, frames):

@@ -107,3 +107,23 @@ def test_beam_decode_path(engine):
     for text, prob in rec_res:
         assert isinstance(text, str)
         assert 0.0 <= prob <= 1.0
+
+
+def test_server_rec_falls_back_to_trained_mobile():
+    """Accurate/auto modes must not run a random-init server recognizer
+    while a trained mobile head exists (reference paddle_model_config.py:
+    72-82 falls back server -> fast)."""
+    import os
+
+    from vse_tpu.core.config import Mode, VseConfig
+    from vse_tpu.core.registry import rec_ckpt_path
+    from vse_tpu.pipeline.ocr_engine import OcrEngine
+
+    if not os.path.isdir(rec_ckpt_path("en", "mobile")):
+        pytest.skip("no trained en mobile checkpoint")
+    eng = OcrEngine(language="en", mode=Mode.ACCURATE,
+                    config=VseConfig(language="en", mode=Mode.ACCURATE))
+    assert eng.spec.rec_variant == "server"  # resolution unchanged
+    if not os.path.isdir(rec_ckpt_path("en", "server")):
+        assert eng.rec_variant == "mobile"  # fallback engaged
+        assert eng.rec_loaded

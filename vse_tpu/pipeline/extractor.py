@@ -68,13 +68,28 @@ class DetSpanTracker:
         self.span_head_result = None
         self.prev_result = None  # (frame_no, dt_box, rec_res)
         self.finding_end = False
+        # one-frame change debounce: a single misread frame (e.g. text over
+        # a moving background) must not split the span — the change only
+        # commits when the NEXT text frame is also dissimilar to the head
+        self.pending = None  # (frame_no, dt_box, rec_res, area_text)
 
     def _close_span(self, end_no, end_result):
-        # record both edges (the reference enqueues start & end tasks)
+        # record both edges (the reference enqueues start & end tasks). The
+        # end edge reuses the HEAD's OCR result: both edges belong to the
+        # same subtitle by construction of the span, and a noisy end-frame
+        # readout otherwise survives dedup as a spurious extra cue (observed:
+        # 'one more line here' + a garbled tail cue on a moving background)
         if self.span_head_result is not None:
             self.ex._gate_and_record(self.span_head_no, *self.span_head_result)
-        if end_result is not None and end_no != self.span_head_no:
-            self.ex._gate_and_record(end_no, *end_result)
+            if end_result is not None and end_no != self.span_head_no:
+                self.ex._gate_and_record(end_no, *self.span_head_result)
+
+    def _start_span(self, frame_no, dt_box, rec_res, area_text):
+        self.span_head_text = area_text
+        self.span_head_no = frame_no
+        self.span_head_result = (dt_box, rec_res)
+        self.finding_end = True
+        self.prev_result = (frame_no, dt_box, rec_res)
 
     def feed(self, frame_no: int, dt_box: list, rec_res: list) -> None:
         ex = self.ex
@@ -92,25 +107,36 @@ class DetSpanTracker:
         if has_subtitle:
             area_text = ex._area_text(dt_box, rec_res)
             if not self.finding_end:
-                self.span_head_text = area_text
-                self.span_head_no = frame_no
-                self.span_head_result = (dt_box, rec_res)
-                self.finding_end = True
+                self._start_span(frame_no, dt_box, rec_res, area_text)
             elif ratio(self.span_head_text, area_text) <= self.thr:
-                # subtitle changed: close at previous frame
-                self._close_span(self.prev_result[0], self.prev_result[1:3])
-                self.span_head_text = area_text
-                self.span_head_no = frame_no
-                self.span_head_result = (dt_box, rec_res)
-            self.prev_result = (frame_no, dt_box, rec_res)
+                if self.pending is None:
+                    # first dissimilar frame: hold — might be a misread
+                    self.pending = (frame_no, dt_box, rec_res, area_text)
+                else:
+                    # confirmed change: close at the last good frame and
+                    # start the new span at the FIRST changed frame
+                    self._close_span(self.prev_result[0], self.prev_result[1:3])
+                    p_no, p_box, p_rec, p_text = self.pending
+                    self._start_span(p_no, p_box, p_rec, p_text)
+                    self.pending = None
+                    # re-evaluate the current frame against the new head
+                    if ratio(self.span_head_text, area_text) <= self.thr:
+                        self.pending = (frame_no, dt_box, rec_res, area_text)
+                    else:
+                        self.prev_result = (frame_no, dt_box, rec_res)
+            else:
+                self.pending = None  # the blip did not persist
+                self.prev_result = (frame_no, dt_box, rec_res)
         elif self.finding_end and self.prev_result is not None:
             self._close_span(self.prev_result[0], self.prev_result[1:3])
             self.finding_end = False
+            self.pending = None
 
     def finish(self) -> None:
         if self.finding_end and self.prev_result is not None:
             self._close_span(self.prev_result[0], self.prev_result[1:3])
             self.finding_end = False
+        self.pending = None
 
 
 class SubtitleExtractor:

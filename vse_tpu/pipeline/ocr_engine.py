@@ -109,18 +109,31 @@ class OcrEngine:
         self.mode = mode
         self.spec: ModelSpec = resolve(language, mode, accelerated)
         self.charset = charset or get_charset(language)
+        # server -> mobile rec fallback: the reference's model resolution
+        # falls back to the fast model when no server model exists
+        # (reference backend/tools/paddle_model_config.py:72-82); a trained
+        # mobile head always beats a random-init server head
+        import os as _os
+
+        from vse_tpu.core.registry import load_meta, rec_ckpt_path
+
+        self.rec_ckpt = self.spec.rec_ckpt
+        self.rec_variant = self.spec.rec_variant
+        if not _os.path.isdir(self.rec_ckpt) and self.rec_variant == "server":
+            mobile_ckpt = rec_ckpt_path(language, "mobile")
+            if _os.path.isdir(mobile_ckpt):
+                self.rec_ckpt = mobile_ckpt
+                self.rec_variant = "mobile"
         # a trained rec checkpoint records its charset options — the head's
         # class count/order is part of the weights
-        from vse_tpu.core.registry import load_meta
-
-        rec_meta = load_meta(self.spec.rec_ckpt)
+        rec_meta = load_meta(self.rec_ckpt)
         if rec_meta:
             if rec_meta.get("fold_case", False):
                 self.charset = self.charset.folded()
             if not rec_meta.get("use_space_char", True):
                 self.charset = self.charset.without_space()
         self.rec_model = CRNNRecognizer(
-            vocab_size=self.charset.vocab_size, variant=self.spec.rec_variant
+            vocab_size=self.charset.vocab_size, variant=self.rec_variant
         )
         self.rec_h = self.config.rec_image_height
         self.rec_w = self.config.rec_image_width
@@ -142,13 +155,13 @@ class OcrEngine:
             self.rec_loaded = True
         else:
             self.rec_params, self.rec_loaded = init_or_load(
-                self.rec_model, dummy_rec, self.spec.rec_ckpt, seed + 1
+                self.rec_model, dummy_rec, self.rec_ckpt, seed + 1
             )
         if not self.rec_loaded:
             import warnings
 
             warnings.warn(
-                f"no trained recognizer checkpoint at {self.spec.rec_ckpt}; "
+                f"no trained recognizer checkpoint at {self.rec_ckpt}; "
                 "running with RANDOM-INIT weights — recognition output will "
                 "be garbage. Train one with `python -m vse_tpu.train.pretrain "
                 f"rec --language {language}`.",

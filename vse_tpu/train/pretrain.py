@@ -231,7 +231,25 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         if shift:
             x = np.roll(x, shift, axis=2)
             x[:, :, :shift] = x[:, :, shift : shift + 1]
-        return np.clip(x, 0, 255)
+        x = np.clip(x, 0, 255)
+        # resample chain: real crops arrive through det-box -> bilinear
+        # upscale + horizontal aspect-compress (ops/image.py crop policy),
+        # while renders are born at 48x320 — without simulating it the head
+        # wobbles on real crops ('o'->'g' under blur+squeeze, observed on
+        # the golden corpus at high confidence)
+        if aug_rng.random() < 0.7:
+            import cv2
+
+            h, w = x.shape[1], x.shape[2]
+            sy = float(aug_rng.uniform(0.55, 1.0))
+            sx = sy * float(aug_rng.uniform(0.75, 1.05))
+            dh, dw = max(8, int(h * sy)), max(16, int(w * sx))
+            for k in range(x.shape[0]):
+                small = cv2.resize(x[k], (dw, dh),
+                                   interpolation=cv2.INTER_LINEAR)
+                x[k] = cv2.resize(small, (w, h),
+                                  interpolation=cv2.INTER_LINEAR)
+        return x
 
     def _cache_batch(i: int):
         raw_imgs, all_texts = cache

@@ -116,6 +116,8 @@ class _NativeRing:
         )
         if got == 0:
             return None
+        if got < batch_n:
+            dst[got:] = 0  # padding rows must be deterministic zeros
         valid = np.zeros((batch_n,), bool)
         valid[:got] = True
         return FrameBatch(
