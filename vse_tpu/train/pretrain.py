@@ -237,12 +237,15 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         # while renders are born at 48x320 — without simulating it the head
         # wobbles on real crops ('o'->'g' under blur+squeeze, observed on
         # the golden corpus at high confidence)
-        if aug_rng.random() < 0.7:
+        if aug_rng.random() < 0.5:
             import cv2
 
             h, w = x.shape[1], x.shape[2]
-            sy = float(aug_rng.uniform(0.55, 1.0))
-            sx = sy * float(aug_rng.uniform(0.75, 1.05))
+            # gentle range: 0.55 downscale taught systematic o->g
+            # confusions on REAL crops (golden F1 1.0 -> 0.67); real det
+            # crops upscale from ~0.75x at most
+            sy = float(aug_rng.uniform(0.75, 1.0))
+            sx = sy * float(aug_rng.uniform(0.85, 1.05))
             dh, dw = max(8, int(h * sy)), max(16, int(w * sx))
             for k in range(x.shape[0]):
                 small = cv2.resize(x[k], (dw, dh),
