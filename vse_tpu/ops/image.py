@@ -97,8 +97,14 @@ def letterbox_matmul(
     x = jnp.einsum("bhwc,oh->bowc", x, wy, preferred_element_type=jnp.bfloat16)
     x = jnp.einsum("bowc,pw->bopc", x, wx, preferred_element_type=jnp.float32)
     x = (x / 255.0 - mean) / std
-    canvas = jnp.zeros((B, out_h, out_w, C), jnp.float32)
-    canvas = jax.lax.dynamic_update_slice(canvas, x, (0, 0, 0, 0))
+    # pad with the normalized value of a BLACK pixel — matching the
+    # _resize_fn+normalize_det path and the reference's zero-pixel padding;
+    # a 0.0 pad in normalized space is ImageNet-mean gray and shifts det
+    # responses near the letterbox border
+    pad = jnp.broadcast_to(
+        ((0.0 - mean) / std).astype(jnp.float32), (B, out_h, out_w, C)
+    )
+    canvas = jax.lax.dynamic_update_slice(pad, x, (0, 0, 0, 0))
     return canvas, (H / nh, W / nw)
 
 

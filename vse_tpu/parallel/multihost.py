@@ -41,10 +41,18 @@ def initialize(coordinator_address: Optional[str] = None,
     )
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address
-        kwargs["num_processes"] = num_processes or int(
-            os.environ["NUM_PROCESSES"]
+        # `is not None`, not truthiness: process_id=0 is the coordinator and
+        # must not fall through to the env var
+        kwargs["num_processes"] = (
+            num_processes
+            if num_processes is not None
+            else int(os.environ["NUM_PROCESSES"])
         )
-        kwargs["process_id"] = process_id or int(os.environ["PROCESS_ID"])
+        kwargs["process_id"] = (
+            process_id
+            if process_id is not None
+            else int(os.environ["PROCESS_ID"])
+        )
     jax.distributed.initialize(**kwargs)
 
 

@@ -133,6 +133,28 @@ def extract_many(
 
     out = {}
     for ex in extractors:
+        if ex.sub_area is None:
+            # same interactive-filter path as SubtitleExtractor.run()
+            # (reference main.py:158-171): without the user area the batch
+            # API must emit the same filtered SRT as a per-video run
+            from vse_tpu.post.filters import (
+                always_yes,
+                filter_scene_text,
+                filter_watermark,
+            )
+
+            ex.raw_records = filter_watermark(
+                ex.raw_records,
+                watermark_area_num=config.watermark_area_num,
+                tolerant_pixel_x=config.tolerant_pixel_x,
+                tolerant_pixel_y=config.tolerant_pixel_y,
+                confirm=ex.confirm,
+            )
+            ex.raw_records = filter_scene_text(
+                ex.raw_records,
+                subtitle_area_deviation_pixel=config.subtitle_area_deviation_pixel,
+                confirm=ex.confirm or always_yes,
+            )
         ex.generate_subtitle_file()
         if config.word_segmentation:
             from vse_tpu.post.reformat import execute as reformat_execute

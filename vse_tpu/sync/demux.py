@@ -219,7 +219,9 @@ def make_keyframes(
     # The previous batch's last frame is prepended so temporal diffs span
     # batch boundaries (frame_stats diffs within its input only).
     prev_tail = None
-    for batch in FrameStream(video_path, batch_size=32, rgb=False):
+    # rgb=True: rgb_to_gray applies RGB-ordered luma weights; feeding it BGR
+    # frames swaps the 0.299/0.114 R/B coefficients in the cut statistic
+    for batch in FrameStream(video_path, batch_size=32, rgb=True):
         n = int(batch.valid.sum())
         small = batch.frames[:n, ::4, ::4]
         gray = np.asarray(rgb_to_gray(small))
