@@ -31,6 +31,39 @@ def test_locale_switch_translates_pipeline_messages(tmp_path):
         set_locale("en")
 
 
+def test_bundled_locales_cover_every_pipeline_key():
+    """All 8 bundled catalogs (reference backend/interface/*.ini locale set)
+    translate EVERY built-in pipeline message key."""
+    from vse_tpu.core.i18n import _EN, _load_ini, _locales_dir, available_locales
+
+    locales = available_locales()
+    assert set(locales) >= {
+        "ch", "chinese_cht", "en", "es", "japan", "ko", "tr", "vi"
+    }, locales
+    for loc in locales:
+        cat = _load_ini(os.path.join(_locales_dir(), f"{loc}.ini"))
+        missing = set(_EN) - set(cat)
+        assert not missing, f"{loc}: missing keys {missing}"
+
+
+def test_bundled_locale_switch_translates():
+    """set_locale('ch') with no explicit path loads the bundled catalog and
+    translates pipeline messages; formatting placeholders survive."""
+    from vse_tpu.core.i18n import _EN, set_locale, tr
+
+    try:
+        set_locale("ch")
+        for key in _EN:
+            msg = tr(key, "A", "B", "C")
+            assert msg != key
+        assert tr("ExtractionDone", "1.0", "/x.srt") != _EN[
+            "ExtractionDone"
+        ].format("1.0", "/x.srt")
+        assert "/x.srt" in tr("SubLocation", "/x.srt")
+    finally:
+        set_locale("en")
+
+
 def test_extractor_emits_catalog_message(tmp_path):
     """The extractor's user-facing output goes through tr() — switching
     locale switches the message (VERDICT r1: catalog had zero call sites)."""
@@ -54,7 +87,7 @@ def test_extractor_emits_catalog_message(tmp_path):
         class _Spec:
             rec_family = "en"
         spec = _Spec()
-        def predict_batch(self, frames):
+        def predict_batch(self, frames, origin=(0, 0)):
             return [([], []) for _ in range(len(frames))]
 
     cfg = VseConfig(language="en", mode=Mode.FAST, word_segmentation=False)

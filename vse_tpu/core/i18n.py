@@ -37,18 +37,44 @@ _catalog: Dict[str, str] = dict(_EN)
 _locale = "en"
 
 
+def _locales_dir() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "locales",
+    )
+
+
+def available_locales() -> list:
+    """Bundled locale catalogs (the reference ships 8:
+    ch/chinese_cht/en/es/japan/ko/tr/vi — backend/interface/*.ini)."""
+    d = _locales_dir()
+    if not os.path.isdir(d):
+        return ["en"]
+    return sorted(f[:-4] for f in os.listdir(d) if f.endswith(".ini"))
+
+
+def _load_ini(ini_path: str) -> Dict[str, str]:
+    # interpolation=None: messages contain literal '%' (confidence values),
+    # which BasicInterpolation would reject at access time
+    cp = configparser.ConfigParser(interpolation=None)
+    cp.optionxform = str  # keep CamelCase keys (ConfigParser lowercases)
+    cp.read(ini_path, encoding="utf-8")
+    return dict(cp["Main"]) if cp.has_section("Main") else {}
+
+
 def set_locale(locale: str, ini_path: Optional[str] = None) -> None:
     """Switch catalogs; unknown keys fall back to English (the reference
-    loads en.ini first, then the selected locale, backend/config.py:22-25)."""
+    loads en.ini first, then the selected locale, backend/config.py:22-25).
+
+    Without an explicit `ini_path`, the bundled catalog
+    vse_tpu/assets/locales/<locale>.ini is used when present."""
     global _catalog, _locale
     _catalog = dict(_EN)
     _locale = locale
+    if ini_path is None:
+        ini_path = os.path.join(_locales_dir(), f"{locale}.ini")
     if ini_path and os.path.exists(ini_path):
-        cp = configparser.ConfigParser()
-        cp.optionxform = str  # keep CamelCase keys (ConfigParser lowercases)
-        cp.read(ini_path, encoding="utf-8")
-        if cp.has_section("Main"):
-            _catalog.update(dict(cp["Main"]))
+        _catalog.update(_load_ini(ini_path))
 
 
 def get_locale() -> str:

@@ -58,6 +58,105 @@ def probe(path: str) -> VideoMeta:
         cap.release()
 
 
+def ffmpeg_exe() -> Optional[str]:
+    """The ffmpeg binary ($VSE_FFMPEG override, else PATH), or None.
+
+    Backs the `Decoder.FFMPEG` config knob (reference
+    backend/main.py:491-495 passes --open_video_ffmpeg to its scanner)."""
+    env = os.environ.get("VSE_FFMPEG")
+    if env and os.path.exists(env):
+        return env
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+class _FFmpegCapture:
+    """cv2.VideoCapture-compatible subset over an ffmpeg rawvideo pipe.
+
+    Implements exactly the surface `FrameStream._decode_loop` uses: read(),
+    get(CAP_PROP_POS_MSEC), set(CAP_PROP_POS_FRAMES) before the first read,
+    release(). Frames come out BGR (like cv2) so the caller's RGB flip is
+    uniform across backends. Timestamps are frame_no/fps (CFR assumption —
+    the same arithmetic cv2 reports for the containers the reference
+    processes)."""
+
+    def __init__(self, path: str, meta: "VideoMeta"):
+        self.path = path
+        self.meta = meta
+        self._frame_bytes = meta.height * meta.width * 3
+        self._proc = None
+        self._pos = 0  # 0-based index of the next frame read() returns
+
+    def _spawn(self) -> None:
+        import subprocess
+
+        exe = ffmpeg_exe()
+        if exe is None:
+            raise FileNotFoundError("ffmpeg binary not found")
+        args = [exe, "-nostdin", "-loglevel", "error"]
+        if self._pos > 0 and self.meta.fps:
+            args += ["-ss", f"{self._pos / self.meta.fps:.6f}"]
+        args += [
+            "-i", self.path, "-f", "rawvideo", "-pix_fmt", "bgr24", "pipe:1",
+        ]
+        self._proc = subprocess.Popen(
+            args,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            bufsize=self._frame_bytes * 4,
+        )
+
+    def isOpened(self) -> bool:
+        return True
+
+    def set(self, prop, value) -> bool:
+        if prop == cv2.CAP_PROP_POS_FRAMES and self._proc is None:
+            self._pos = int(value)
+            return True
+        return False
+
+    def get(self, prop) -> float:
+        if prop == cv2.CAP_PROP_POS_MSEC:
+            # cv2 semantics: after read() this is the NEXT frame's timestamp
+            return self._pos / self.meta.fps * 1000.0 if self.meta.fps else 0.0
+        if prop == cv2.CAP_PROP_FPS:
+            return self.meta.fps
+        if prop == cv2.CAP_PROP_FRAME_COUNT:
+            return float(self.meta.frame_count)
+        return 0.0
+
+    def read(self):
+        if self._proc is None:
+            self._spawn()
+        out = self._proc.stdout
+        chunks, need = [], self._frame_bytes
+        while need:
+            b = out.read(need)
+            if not b:
+                return False, None
+            chunks.append(b)
+            need -= len(b)
+        frame = np.frombuffer(b"".join(chunks), np.uint8).reshape(
+            self.meta.height, self.meta.width, 3
+        )
+        self._pos += 1
+        return True, frame
+
+    def release(self) -> None:
+        if self._proc is not None:
+            try:
+                self._proc.stdout.close()
+                self._proc.terminate()
+                self._proc.wait(timeout=5)
+            except Exception:
+                try:
+                    self._proc.kill()
+                except Exception:
+                    pass
+            self._proc = None
+
+
 @dataclass
 class FrameBatch:
     """A contiguous stack of decoded frames plus their metadata."""
@@ -182,6 +281,7 @@ class FrameStream:
         use_native_ring: bool = True,
         start_frame: int = 0,
         end_frame: Optional[int] = None,
+        decoder: str = "opencv",
     ):
         self.meta = probe(path)
         self.path = path
@@ -193,9 +293,24 @@ class FrameStream:
         self.end_frame = end_frame
         self._use_native = use_native_ring and native_available()
         self.frame_to_ms: dict = {}
+        self.decoder = getattr(decoder, "value", decoder)  # Decoder enum or str
+        if self.decoder == "ffmpeg" and ffmpeg_exe() is None:
+            import warnings
+
+            warnings.warn(
+                "Decoder.FFMPEG requested but no ffmpeg binary found; "
+                "falling back to OpenCV decode",
+                stacklevel=2,
+            )
+            self.decoder = "opencv"
+
+    def _open_capture(self):
+        if self.decoder == "ffmpeg":
+            return _FFmpegCapture(self.path, self.meta)
+        return cv2.VideoCapture(self.path)
 
     def _decode_loop(self, push, close):
-        cap = cv2.VideoCapture(self.path)
+        cap = self._open_capture()
         try:
             frame_no = 0
             if self.start_frame > 0:
