@@ -46,8 +46,13 @@ class FakeEngine:
         self.texts = texts
         self.n = int(seconds_each * fps)
 
-    def lookup(self, frame):
-        band = frame[200:224]
+    def lookup(self, frame, dy=0):
+        # stripes live at FULL-frame rows 200:224; band-cropped uploads
+        # shift them to rows 200-dy (the OcrEngine `origin` contract)
+        y0, y1 = 200 - dy, 224 - dy
+        if y0 < 0 or y1 > frame.shape[0]:
+            return None
+        band = frame[y0:y1]
         if band.max() < 128:
             return None
         # recover segment id from stripe phase
@@ -55,13 +60,15 @@ class FakeEngine:
         seg = max(0, (cols[0] - 20) // 3)
         return self.texts[min(seg, len(self.texts) - 1)]
 
-    def predict_batch(self, frames):
+    def predict_batch(self, frames, origin=(0, 0)):
+        dy, _dx = origin
         out = []
         for f in frames:
-            text = self.lookup(f)
+            text = self.lookup(np.asarray(f), dy)
             if text is None:
                 out.append(([], []))
             else:
+                # full-frame coords, like the real engine after `origin`
                 quad = [(20, 200), (300, 200), (300, 224), (20, 224)]
                 out.append(([quad], [(text, 0.95)]))
         return out
@@ -187,3 +194,33 @@ def test_ab_section_keyframe_mode_uses_real_frame_numbers(video, tmp_path):
     texts = [s.text for s in SrtFile.open(path) if s.text]
     assert "hello world" not in texts
     assert "second line" in texts
+
+
+def test_keyframe_spans_cover_accurate_spans(video, tmp_path):
+    """Cross-strategy validation (VERDICT r2 next #6): every accurate-mode
+    cue must be covered by a keyframe-scanner cue on the same video, with
+    bounded boundary deltas. Scanner = real Pallas/jnp kernel; OCR text is
+    scripted so the comparison isolates TIMING semantics."""
+    from vse_tpu.eval import time_iou
+
+    area = SubtitleArea(ymin=190, ymax=239, xmin=0, xmax=319)
+    ex_a = make_extractor(video, Mode.ACCURATE, sub_area=area)
+    ex_a.subtitle_output_path = str(tmp_path / "acc.srt")
+    ex_a.run()
+    ex_f = make_extractor(video, Mode.FAST, sub_area=area)
+    ex_f.subtitle_output_path = str(tmp_path / "fast.srt")
+    ex_f.run()
+    acc = [c for c in SrtFile.open(str(tmp_path / "acc.srt")) if c.text]
+    fast = list(SrtFile.open(str(tmp_path / "fast.srt")))
+    assert acc and fast
+    for a in acc:
+        best = max(
+            (time_iou(a.start_ms, a.end_ms, f.start_ms, f.end_ms), f)
+            for f in fast
+        )
+        iou, f = best
+        assert iou > 0.0, (a.start_ms, a.end_ms,
+                           [(x.start_ms, x.end_ms) for x in fast])
+        # scanner cue boundaries within 600 ms of the det-driven ones
+        assert abs(f.start_ms - a.start_ms) <= 600, (f.start_ms, a.start_ms)
+        assert abs(f.end_ms - a.end_ms) <= 600, (f.end_ms, a.end_ms)

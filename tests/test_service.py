@@ -79,7 +79,7 @@ def test_stop_cancels_mid_video(tmp_path):
         class _Spec:
             rec_family = "en"
         spec = _Spec()
-        def predict_batch(self, frames):
+        def predict_batch(self, frames, origin=(0, 0)):
             time.sleep(0.2)  # make each batch slow enough to interrupt
             return [([], []) for _ in range(len(frames))]
 

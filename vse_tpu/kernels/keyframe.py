@@ -166,6 +166,32 @@ def frame_stats(
     return np.asarray(fn(jnp.asarray(padded), p))
 
 
+@partial(jax.jit, static_argnames=("p", "use_pallas"))
+def _scan_stats_u8_jit(frames_u8: jnp.ndarray, p: ScanParams, use_pallas: bool):
+    import math
+
+    gray = rgb_to_gray(frames_u8)
+    T, H, W = gray.shape
+    mh = (p.segment_height * 8) // math.gcd(p.segment_height, 8)
+    mw = (p.segment_width * 128) // math.gcd(p.segment_width, 128)
+    ph, pw = (-H) % mh, (-W) % mw
+    if ph or pw:
+        gray = jnp.pad(gray, ((0, 0), (0, ph), (0, pw)))
+    return frame_stats_pallas(gray, p) if use_pallas else frame_stats_jnp(gray, p)
+
+
+def scan_stats_u8(
+    frames_u8, p: ScanParams = ScanParams(), force_jnp: bool = False
+) -> np.ndarray:
+    """Fused scan stage on uint8 frames: gray conversion + tile padding +
+    per-frame stats in ONE compiled program. Input [T, H, W, 3] uint8 (host
+    or device); only the [T, 4] stat rows come back to the host — the old
+    host-side pad path transferred the full float32 gray band D2H and back
+    per batch (3 band-sized copies over the link instead of 1)."""
+    use_pallas = (not force_jnp) and jax.default_backend() == "tpu"
+    return np.asarray(_scan_stats_u8_jit(jnp.asarray(frames_u8), p, use_pallas))
+
+
 @dataclass
 class Span:
     start_frame: int  # indices into the scanned (possibly strided) sequence

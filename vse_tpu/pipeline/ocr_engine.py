@@ -79,6 +79,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _expand_boxes_y(boxes: jnp.ndarray, frac: float, h: int) -> jnp.ndarray:
+    """Expand xyxy boxes vertically by `frac` of their height per side,
+    clamped to the frame. Crop-stage-only compensation for the thin DB
+    shrink core (see VseConfig.rec_crop_expand_y); reported det boxes are
+    NOT expanded."""
+    if frac <= 0:
+        return boxes
+    pad = frac * (boxes[..., 3] - boxes[..., 1])
+    return jnp.stack(
+        [
+            boxes[..., 0],
+            jnp.clip(boxes[..., 1] - pad, 0, h - 1),
+            boxes[..., 2],
+            jnp.clip(boxes[..., 3] + pad, 0, h - 1),
+        ],
+        axis=-1,
+    )
+
+
 class OcrEngine:
     """Device-resident detector + recognizer with shape-bucketed jit cache."""
 
@@ -298,13 +317,16 @@ class OcrEngine:
                     axis=-1,
                 )
 
+                crop_boxes = _expand_boxes_y(
+                    boxes, cfg.rec_crop_expand_y, h
+                )
                 if rectify:
                     from vse_tpu.ops.image import (
                         crop_quad_rectified_windowed,
                         quads_from_boxes,
                     )
 
-                    quads = quads_from_boxes(boxes, angles)
+                    quads = quads_from_boxes(crop_boxes, angles)
 
                     def per_frame(frame, fquads):
                         ff = frame.astype(jnp.float32)
@@ -325,7 +347,7 @@ class OcrEngine:
                             )
                         )(fboxes)
 
-                    crops = jax.vmap(per_frame)(frames_u8, boxes)  # [B,K,h,w,3]
+                    crops = jax.vmap(per_frame)(frames_u8, crop_boxes)
                 B, K = crops.shape[0], crops.shape[1]
                 crops = crops.reshape((B * K,) + crops.shape[2:])
                 crops = (crops / 255.0 - 0.5) / 0.5
@@ -359,6 +381,10 @@ class OcrEngine:
             @jax.jit
             def run(rec_params, frames_u8, boxes):
                 # frames_u8: [B, h, w, 3]; boxes: [B, K, 4] xyxy in frame coords
+                boxes = _expand_boxes_y(
+                    boxes, self.config.rec_crop_expand_y, h
+                )
+
                 def per_frame(frame, fboxes):
                     f = frame.astype(jnp.float32)
                     crops = jax.vmap(
@@ -391,6 +417,10 @@ class OcrEngine:
 
             @jax.jit
             def run(rec_params, frames_u8, boxes):
+                boxes = _expand_boxes_y(
+                    boxes, self.config.rec_crop_expand_y, h
+                )
+
                 def per_frame(frame, fboxes):
                     f = frame.astype(jnp.float32)
                     return jax.vmap(
@@ -430,7 +460,7 @@ class OcrEngine:
         return boxes, scores, valid
 
     def predict_batch(
-        self, frames_u8: np.ndarray
+        self, frames_u8: np.ndarray, origin: Tuple[int, int] = (0, 0)
     ) -> List[Tuple[list, list]]:
         """Full OCR on a frame batch. Returns per-frame (dt_box, rec_res)
         in the reference's format.
@@ -438,10 +468,14 @@ class OcrEngine:
         Greedy decode runs the fused single-program path (det+rec in one
         XLA program, boxes never leave the device). Frames are processed in
         chunks of `max_batch_size` (the reference's det-batch knob,
-        reference backend/config.py:60) — one compiled bucket per shape."""
+        reference backend/config.py:60) — one compiled bucket per shape.
+
+        `origin=(dy, dx)`: offset added to output box coords — callers that
+        upload only the subtitle band (saving host->device bytes) get boxes
+        back in FULL-frame coordinates."""
         B, h, w, _ = frames_u8.shape
         if self.decode == "beam":
-            return self._predict_batch_beam(frames_u8)
+            return self._predict_batch_beam(frames_u8, origin)
         on_device = isinstance(frames_u8, jax.Array)
         chunk = max(1, self.config.max_batch_size)
         out: List[Tuple[list, list]] = []
@@ -460,7 +494,9 @@ class OcrEngine:
                 np.asarray(r)[:n] for r in res
             )
             out.extend(
-                self._format_results(n, boxes, valid, ids, mask, rec_scores)
+                self._format_results(
+                    n, boxes, valid, ids, mask, rec_scores, origin
+                )
             )
         return out
 
@@ -474,8 +510,19 @@ class OcrEngine:
         fused = self._predict_fused_fn(h, w, hd, wd)
         return fused(self.det_params, self.rec_params, frames_dev)
 
-    def _format_results(self, B, boxes, valid, ids, mask, rec_scores):
+    def _to_logical(self, text: str) -> str:
+        """Arabic heads are trained on visual-order labels (RTL rendering,
+        vse_tpu/core/arabic.py); restore logical order for output."""
+        if self.spec.rec_family == "arabic" and text:
+            from vse_tpu.core.arabic import visual_to_logical
+
+            return visual_to_logical(text)
+        return text
+
+    def _format_results(self, B, boxes, valid, ids, mask, rec_scores,
+                        origin=(0, 0)):
         """ids/mask -> texts, reference output format + line sorting."""
+        dy, dx = origin
         out = []
         for b in range(B):
             coords = []
@@ -484,9 +531,11 @@ class OcrEngine:
                 if not valid[b, k]:
                     continue
                 x0, y0, x1, y1 = boxes[b, k]
+                x0, x1, y0, y1 = x0 + dx, x1 + dx, y0 + dy, y1 + dy
                 text = self.charset.decode_ids(
                     [int(i) for i, m in zip(ids[b, k], mask[b, k]) if m]
                 )
+                text = self._to_logical(text)
                 score = float(rec_scores[b, k])
                 coords.append((int(x0), int(x1), int(y0), int(y1)))
                 items.append((text, score))
@@ -499,7 +548,7 @@ class OcrEngine:
         return out
 
     def _predict_batch_beam(
-        self, frames_u8: np.ndarray
+        self, frames_u8: np.ndarray, origin: Tuple[int, int] = (0, 0)
     ) -> List[Tuple[list, list]]:
         """Beam-decode path: device det + rec log-probs, host prefix beam.
         Crops decode host-side in `rec_batch_number` groups (the reference's
@@ -527,8 +576,11 @@ class OcrEngine:
                 ids_bk, score = ctc_prefix_beam_decode(
                     logp[b, k], beam_width=self.beam_width
                 )
-                texts[(b, k)] = self.charset.decode_ids(ids_bk)
+                texts[(b, k)] = self._to_logical(
+                    self.charset.decode_ids(ids_bk)
+                )
                 beam_scores[(b, k)] = score
+        dy, dx = origin
         out = []
         for b in range(B):
             coords = []
@@ -537,6 +589,7 @@ class OcrEngine:
                 if not valid[b, k]:
                     continue
                 x0, y0, x1, y1 = boxes[b, k]
+                x0, x1, y0, y1 = x0 + dx, x1 + dx, y0 + dy, y1 + dy
                 coords.append((int(x0), int(x1), int(y0), int(y1)))
                 items.append((texts[(b, k)], beam_scores[(b, k)]))
             coords, items = sort_into_lines(coords, items)
