@@ -134,6 +134,14 @@ class VseConfig:
     rec_rectify: bool = False
     db_pool: int = 8
     db_sweeps: int = 2
+    # Vertical expansion of det boxes BEFORE rec cropping, as a fraction of
+    # box height per side. The DB shrink core is thin: reference-parity
+    # unclip yields boxes that clip glyph caps/descenders (~h*1.25 of the
+    # shrink core), which PaddleOCR's rec tolerates but heads trained on
+    # full synthetic renders misread. Expansion applies only to the crop —
+    # reported det boxes stay reference-parity. Set 0 for converted
+    # PaddleOCR rec heads.
+    rec_crop_expand_y: float = 0.45
     # Detection input size bucket (H, W) — frames are letterboxed to this.
     # Mirrors PaddleOCR's det_limit_side_len=960 used by the reference: a
     # 1080p frame det-scans at 960x540 (padded to 960x576).
