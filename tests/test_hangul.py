@@ -1,0 +1,68 @@
+"""Programmatic Hangul composition (vse_tpu/core/hangul.py)."""
+
+import numpy as np
+import pytest
+
+from vse_tpu.core.hangul import (
+    decompose,
+    draw_hangul,
+    is_syllable,
+    syllable_figures,
+)
+
+
+def test_decompose_arithmetic():
+    assert decompose("가") == ("ㄱ", "ㅏ", "")
+    assert decompose("한") == ("ㅎ", "ㅏ", "ㄴ")
+    assert decompose("국") == ("ㄱ", "ㅜ", "ㄱ")
+    assert decompose("값") == ("ㄱ", "ㅏ", "ㅄ")
+    assert decompose("뷁") == ("ㅂ", "ㅞ", "ㄺ")
+    assert is_syllable("가") and is_syllable("힣")
+    assert not is_syllable("a") and not is_syllable("ㄱ")
+
+
+def test_every_syllable_composes():
+    """All 11172 syllables must produce in-bounds figures (no KeyError on
+    any jamo, no coordinates outside the unit square)."""
+    import random
+
+    rng = random.Random(0)
+    codepoints = [0xAC00 + i for i in range(11172)]
+    sample = rng.sample(codepoints, 500) + [0xAC00, 0xD7A3]
+    for cp in sample:
+        polylines, ellipses = syllable_figures(chr(cp))
+        assert polylines or ellipses, hex(cp)
+        for pl in polylines:
+            for x, y in pl:
+                assert -0.01 <= x <= 1.01 and -0.01 <= y <= 1.01, (hex(cp), x, y)
+
+
+def test_distinct_syllables_render_distinct():
+    from PIL import Image, ImageDraw
+
+    def render(ch):
+        img = Image.new("L", (48, 48), 0)
+        draw_hangul(ImageDraw.Draw(img), (4, 4), ch, 40, fill=255)
+        return np.asarray(img)
+
+    a, b, c = render("가"), render("나"), render("각")
+    assert a.max() == 255
+    assert not np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_synth_renderer_korean():
+    cv2 = pytest.importorskip("cv2")  # noqa: F841
+
+    from vse_tpu.core.charset import get_charset
+    from vse_tpu.train.synth import SynthConfig, TextRenderer
+
+    cs = get_charset("korean")
+    r = TextRenderer(cs, SynthConfig(words_only=True, fixed_stroke=2), seed=1)
+    # the renderable alphabet must be dominated by composable syllables
+    n_syll = sum(1 for c in r.alphabet if is_syllable(c))
+    assert n_syll > 10000
+    img, label = r.render_line()
+    assert img.shape == (48, 320, 3)
+    assert img.max() > 200
+    assert cs.encode(label)

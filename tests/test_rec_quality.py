@@ -14,7 +14,7 @@ pytestmark = pytest.mark.slow
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-FAMILIES = ["en", "latin", "cyrillic", "el"]
+FAMILIES = ["en", "latin", "cyrillic", "el", "ka", "arabic", "korean"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -32,3 +32,20 @@ def test_rec_cer_gate(family):
     assert "error" not in result, result
     assert result["cer"] <= 0.05, result
     assert result["exact_match"] >= 0.6, result
+
+
+def test_server_rec_gate():
+    """The accurate-mode (server) recognizer must beat the same CER bar —
+    and must actually BE the server variant once its checkpoint exists
+    (VERDICT r2: every mode silently fell back to mobile rec)."""
+    from vse_tpu.core.registry import rec_ckpt_path
+
+    if not os.path.isdir(rec_ckpt_path("en", "server")):
+        pytest.skip("no trained en server checkpoint yet")
+
+    import eval_rec
+
+    result = eval_rec.evaluate("en", n=256, mode="accurate")
+    assert "error" not in result, result
+    assert result["variant"] == "server", result
+    assert result["cer"] <= 0.05, result

@@ -34,7 +34,11 @@ def cer(ref: str, hyp: str) -> float:
     return Levenshtein.distance(ref, hyp) / len(ref)
 
 
-def evaluate(language: str, n: int, seed: int = 7777, difficulty: float = 0.8):
+def evaluate(language: str, n: int, seed: int = 7777, difficulty: float = 0.8,
+             mode: str = "fast"):
+    """`mode='accurate'` evaluates the server-variant head the mode matrix
+    resolves (falls back to mobile when no server checkpoint exists — the
+    result reports which variant actually loaded)."""
     import jax
     import jax.numpy as jnp
 
@@ -43,8 +47,8 @@ def evaluate(language: str, n: int, seed: int = 7777, difficulty: float = 0.8):
     from vse_tpu.ops.ctc import ctc_greedy_decode, decode_batch_to_texts
     from vse_tpu.train.synth import SynthConfig, TextRenderer
 
-    engine = OcrEngine(language=language, mode=Mode.FAST,
-                       config=VseConfig(language=language, mode=Mode.FAST))
+    engine = OcrEngine(language=language, mode=Mode(mode),
+                       config=VseConfig(language=language, mode=Mode(mode)))
     if not engine.rec_loaded:
         return {"error": f"no trained checkpoint at {engine.spec.rec_ckpt}"}
 
@@ -74,7 +78,8 @@ def evaluate(language: str, n: int, seed: int = 7777, difficulty: float = 0.8):
         "cer": round(total_cer / max(count, 1), 4),
         "exact_match": round(exact / max(count, 1), 4),
         "difficulty": difficulty,
-        "ckpt": engine.spec.rec_ckpt,
+        "variant": engine.rec_variant,
+        "ckpt": engine.rec_ckpt,
     }
 
 
@@ -83,9 +88,11 @@ def main():
     ap.add_argument("--language", default="en")
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--difficulty", type=float, default=0.8)
+    ap.add_argument("--mode", default="fast",
+                    choices=["fast", "auto", "accurate"])
     args = ap.parse_args()
     print(json.dumps(evaluate(args.language, args.n,
-                              difficulty=args.difficulty)))
+                              difficulty=args.difficulty, mode=args.mode)))
 
 
 if __name__ == "__main__":

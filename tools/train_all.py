@@ -23,10 +23,12 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vse_jax_cache")
 
-# families with usable DejaVu coverage (see vse_tpu/train/synth.py's
-# font_covered_chars; CJK/devanagari/thai/ta/te need a covering TTF dropped
-# into the matplotlib font dir)
-DEFAULT_FAMILIES = ["en", "latin", "cyrillic", "el"]
+# families renderable in this image: DejaVu coverage (en/latin/cyrillic/
+# el/ka), DejaVu Arabic presentation forms + own shaper (ar), programmatic
+# jamo composition (korean — vse_tpu/core/hangul.py). ch/chinese_cht/japan/
+# devanagari/ta/te/th still need a covering TTF dropped into the
+# matplotlib font dir.
+DEFAULT_FAMILIES = ["en", "latin", "cyrillic", "el", "ka", "ar", "korean"]
 CER_GATE = 0.05
 
 

@@ -429,12 +429,28 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
         q, stop = _prefetch(make_batch)
     params = variables["params"]
     batch_stats = {k: v for k, v in variables.items() if k != "params"}
+    path = f"{models_root()}/det_{variant}"
+    # resume: pick up params from a prior periodic checkpoint (wall-clock
+    # kills are routine on this box; same contract as train_rec)
+    start_step = 0
+    if os.path.isdir(path):
+        from vse_tpu.core.registry import load_meta, load_params
+
+        prior_meta = load_meta(path)
+        try:
+            restored = load_params(path, like={"params": params, **batch_stats})
+            params = restored["params"]
+            batch_stats = {k: v for k, v in restored.items() if k != "params"}
+            start_step = int((prior_meta or {}).get("step", 0))
+            print(f"resuming {path} from step {start_step}")
+        except Exception as e:
+            print(f"resume failed ({e}); training from scratch")
     t0 = time.time()
     try:
-        for i in range(steps):
+        for i in range(start_step, steps):
             if i > 0 and i % 500 == 0:
-                save_params({"params": params, **batch_stats},
-                            f"{models_root()}/det_{variant}")
+                save_params({"params": params, **batch_stats}, path,
+                            meta={"variant": variant, "step": i})
             hb = {k: jnp.asarray(v) for k, v in q.get().items()}
             params, mut, opt_state, loss, metrics = step_fn(
                 params, batch_stats, opt_state, hb
@@ -449,8 +465,8 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
                 )
     finally:
         stop.set()
-    path = f"{models_root()}/det_{variant}"
-    save_params({"params": params, **batch_stats}, path)
+    save_params({"params": params, **batch_stats}, path,
+                meta={"variant": variant, "step": steps})
     print(f"saved {path}")
     return path
 

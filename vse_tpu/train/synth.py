@@ -87,6 +87,17 @@ class TextRenderer:
         covered = set.intersection(*(per_font[p] for p in self.fonts))
         # charset order (not set order): keeps datasets reproducible
         self.alphabet = [c for c in charset.chars if c in covered and c.strip()]
+        # Hangul: no font covers it, but syllables compose programmatically
+        # (vse_tpu/core/hangul.py) — the renderable alphabet is every
+        # composable syllable plus whatever the fonts cover (digits etc.)
+        self._hangul = charset.name == "korean"
+        if self._hangul:
+            from vse_tpu.core.hangul import is_syllable
+
+            self.alphabet = [
+                c for c in charset.chars
+                if c.strip() and (is_syllable(c) or c in covered)
+            ]
         if not self.alphabet:
             raise RuntimeError(
                 f"charset {charset.name!r}: the available fonts cover none of "
@@ -102,6 +113,33 @@ class TextRenderer:
                 f"{len(self.alphabet)}/{len(charset.chars)} chars; the "
                 "trained head will not see the rest", stacklevel=2,
             )
+        # Arabic: render shaped presentation forms in visual (RTL) order —
+        # naive PIL draws produce isolated letterforms real subtitles never
+        # show. Labels are visual-order base chars; the engine reverses
+        # decoded text back to logical order (vse_tpu/core/arabic.py).
+        self._arabic = charset.name == "arabic"
+        if self._arabic:
+            import unicodedata
+
+            from fontTools.ttLib import TTFont
+            from PIL import features
+
+            # with libraqm PIL shapes+bidis Arabic natively: draw the
+            # LOGICAL text and let raqm produce joined RTL output. Without
+            # it, draw our own pre-shaped presentation forms in visual
+            # order. Labels are visual-order base chars either way.
+            self._raqm = bool(features.check("raqm"))
+            glyph_cov = None
+            for p in self.fonts:
+                cm = {chr(c) for c in TTFont(p, lazy=True).getBestCmap()}
+                glyph_cov = cm if glyph_cov is None else (glyph_cov & cm)
+            self._glyph_coverage = glyph_cov or set()
+            # standalone combining marks render as dotted circles — keep
+            # them out of pseudo-words (the head keeps the classes, unseen)
+            self.alphabet = [
+                c for c in self.alphabet
+                if unicodedata.category(c) != "Mn"
+            ]
         # English words only make sense for heads that contain ascii letters;
         # other scripts get pseudo-words drawn from their own alphabet. Heads
         # with non-ascii chars (latin accents, mixed heads) mix in pseudo-
@@ -110,6 +148,10 @@ class TextRenderer:
         self._pseudo_share = (
             0.0 if all(ord(c) < 128 for c in self.alphabet) else 0.25
         )
+        if self._hangul:
+            # the korean dict contains ascii too, but the head's job is
+            # Hangul — keep English word lines a small minority
+            self._pseudo_share = 0.75
 
     # common words give the recognizer realistic glyph sequences (the word
     # segmenter's frequency list, ~2k words); random chars keep full charset
@@ -171,14 +213,38 @@ class TextRenderer:
         draw = ImageDraw.Draw(img)
         x = int(self.rng.integers(2, 12))
         y = int(self.rng.integers(0, 6))
+
+        def glyphs_and_label(t):
+            if self._arabic:
+                from vse_tpu.core.arabic import render_forms
+
+                glyphs, label = render_forms(t, self._glyph_coverage)
+                if self._raqm:
+                    return t, label  # raqm shapes the logical text itself
+                return glyphs, label
+            return t, t
+
+        if self._hangul:
+            return self._render_line_hangul(img, draw, text, x, font)
+        # explicit RTL paragraph direction keeps raqm's bidi in lockstep
+        # with the visual-order labels even for digit-leading lines
+        draw_kw = (
+            {"direction": "rtl"}
+            if self._arabic and getattr(self, "_raqm", False)
+            else {}
+        )
         # trim until the rendered text fits the crop width/height
+        glyphs, label = glyphs_and_label(text)
         while text:
-            bbox = draw.textbbox((x, y), text, font=font, stroke_width=2)
+            glyphs, label = glyphs_and_label(text)
+            bbox = draw.textbbox((x, y), glyphs, font=font, stroke_width=2,
+                                 **draw_kw)
             if bbox[2] <= cfg.rec_w - 2 and bbox[3] <= cfg.rec_h:
                 break
             text = text[:-1].rstrip()
         if not text:
             text = str(self.rng.choice(self.alphabet)).strip() or "a"
+            glyphs, label = glyphs_and_label(text)
         # white (or, at high difficulty, yellow) text with dark outline
         d = self.cfg.difficulty
         fill = (255, 255, 255)
@@ -188,8 +254,30 @@ class TextRenderer:
             stroke = self.cfg.fixed_stroke
         else:
             stroke = 2 if self.rng.random() < d else 0
-        draw.text((x, y), text, font=font, fill=fill,
-                  stroke_width=stroke, stroke_fill=(0, 0, 0))
+        draw.text((x, y), glyphs, font=font, fill=fill,
+                  stroke_width=stroke, stroke_fill=(0, 0, 0), **draw_kw)
+        return np.asarray(img, np.uint8), label
+
+    def _render_line_hangul(self, img, draw, text, x, font):
+        """Korean rec crop: stroke-composed syllables (core/hangul.py),
+        PIL-font fallback for non-Hangul chars."""
+        from vse_tpu.core.hangul import render_hangul_text, text_width
+
+        cfg = self.cfg
+        size = min(font.size, cfg.rec_h - 8)
+        y = int(self.rng.integers(0, max(1, cfg.rec_h - size - 4)))
+        while text and text_width(text, size, font, draw) > cfg.rec_w - x - 2:
+            text = text[:-1].rstrip()
+        if not text:
+            text = str(self.rng.choice(self.alphabet)).strip()
+        d = self.cfg.difficulty
+        fill = (255, 255, 0) if self.rng.random() < 0.3 * d else (255, 255, 255)
+        if self.cfg.fixed_stroke >= 0:
+            stroke = self.cfg.fixed_stroke
+        else:
+            stroke = 2 if self.rng.random() < d else 0
+        render_hangul_text(draw, (x, y), text, size, font, fill=fill,
+                           stroke_width=stroke, stroke_fill=(0, 0, 0))
         return np.asarray(img, np.uint8), text
 
     def rec_batch(self, batch: int) -> Dict[str, np.ndarray]:
