@@ -33,7 +33,7 @@ def render_video(path, script, style):
     for f in range(total):
         if style == "plain":
             base = np.full((H, W, 3), 35, np.uint8)
-        elif style == "gradient":
+        elif style in ("gradient", "fade", "karaoke"):
             gx = (np.linspace(0, 120, W) + f * 0.7) % 160
             base = (30 + gx[None, :, None] * np.ones((H, 1, 3))).astype(np.uint8)
         else:  # noisy
@@ -43,10 +43,30 @@ def render_video(path, script, style):
         for si, (s, e, seed) in enumerate(script):
             if s <= f < e:
                 text = words[seed % len(words)]
+                if style == "karaoke":
+                    # text reveals left-to-right across the span
+                    frac = max(0.15, min(1.0, (f - s) / max(e - s - 8, 1)))
+                    text = text[: max(1, int(round(len(text) * frac)))]
+                alpha = 1.0
+                if style == "fade":
+                    # 8-frame alpha ramp at both span edges
+                    alpha = min(1.0, min(f - s + 1, e - f) / 8.0)
                 tw = d.textlength(text, font=font)
-                d.text(((W - tw) // 2, BAND[0] + 6), text, font=font,
-                       fill=(255, 255, 255), stroke_width=2,
-                       stroke_fill=(0, 0, 0))
+                if alpha >= 1.0:
+                    d.text(((W - tw) // 2, BAND[0] + 6), text, font=font,
+                           fill=(255, 255, 255), stroke_width=2,
+                           stroke_fill=(0, 0, 0))
+                else:
+                    overlay = Image.new("RGBA", (W, H), (0, 0, 0, 0))
+                    od = ImageDraw.Draw(overlay)
+                    od.text(((W - tw) // 2, BAND[0] + 6), text, font=font,
+                            fill=(255, 255, 255, int(255 * alpha)),
+                            stroke_width=2,
+                            stroke_fill=(0, 0, 0, int(255 * alpha)))
+                    img = Image.alpha_composite(
+                        img.convert("RGBA"), overlay
+                    ).convert("RGB")
+                    d = ImageDraw.Draw(img)
         vw.write(np.asarray(img)[:, :, ::-1])
     vw.release()
 
@@ -68,12 +88,16 @@ SCRIPTS = [
     [(10, 60, 0), (75, 130, 1), (150, 200, 2)],
     [(5, 40, 3), (41, 90, 4), (120, 170, 0)],   # adjacent spans (text swap)
     [(20, 100, 1), (140, 160, 2)],
+    [(15, 70, 0), (95, 150, 2)],                 # fade in/out at edges
+    [(10, 80, 3), (110, 175, 1)],                # karaoke reveal
 ]
 
+STYLES = ["plain", "gradient", "noisy", "fade", "karaoke"]
 
-@pytest.mark.parametrize("style", ["plain", "gradient", "noisy"])
+
+@pytest.mark.parametrize("style", STYLES)
 def test_span_recall_100pct(tmp_path, style):
-    script = SCRIPTS[["plain", "gradient", "noisy"].index(style)]
+    script = SCRIPTS[STYLES.index(style)]
     path = str(tmp_path / f"{style}.mp4")
     render_video(path, script, style)
     spans = scan(path)

@@ -23,38 +23,91 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vse_jax_cache")
 import numpy as np
 
 
-def make_video(path, script, w=960, h=540, fps=25.0, font_size=30):
-    """script: [(start_s, end_s, text)]; text burned at the bottom band."""
-    import cv2
-    from PIL import Image, ImageDraw, ImageFont
+def _font(font_size):
+    import glob
 
-    import matplotlib, glob
+    import matplotlib
+    from PIL import ImageFont
 
     font_path = sorted(
         glob.glob(os.path.join(os.path.dirname(matplotlib.__file__),
                                "mpl-data", "fonts", "ttf", "DejaVuSans.ttf"))
     )[0]
-    font = ImageFont.truetype(font_path, font_size)
-    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
-    total = max(e for _, e, _ in script) + 0.5
-    rng = np.random.default_rng(0)
-    # moving gradient background so frames aren't identical
-    n = int(total * fps)
-    for f in range(n):
-        t = f / fps
-        base = np.zeros((h, w, 3), np.uint8)
+    return ImageFont.truetype(font_path, font_size)
+
+
+def _background(style, w, h, f, rng):
+    base = np.zeros((h, w, 3), np.uint8)
+    if style in ("gradient", "fade", "two_line", "karaoke"):
         gx = (np.linspace(0, 80, w) + f * 0.5) % 120
         base[:] = (40 + gx[None, :, None]).astype(np.uint8)
+    elif style == "noise":
+        base[:] = rng.integers(10, 120, size=(h, w, 3), dtype=np.uint8)
+    elif style == "moving":
+        yy, xx = np.mgrid[0:h, 0:w]
+        blob = (
+            90 + 70 * np.sin((xx + f * 6) / 97.0) * np.cos((yy - f * 4) / 71.0)
+        )
+        base[:] = np.clip(blob, 0, 255).astype(np.uint8)[..., None]
+    else:
+        raise ValueError(style)
+    return base
+
+
+def make_video(path, script, w=960, h=540, fps=25.0, font_size=30,
+               style="gradient", seed=0):
+    """script: [(start_s, end_s, text)]; text burned at the bottom band.
+
+    Styles (VERDICT r2 next #2: several resolutions, moving/noisy
+    backgrounds, 2-line cues, fades):
+      gradient — slowly scrolling gradient (the original corpus)
+      noise    — per-frame uniform noise background
+      moving   — animated smooth blobs (moving high-contrast content)
+      fade     — text alpha-fades in/out over 0.3 s at cue edges
+      two_line — "a|b" cue text renders as two stacked lines
+      karaoke  — text reveals left-to-right over the cue (VSF-style stress)
+    """
+    import cv2
+    from PIL import Image, ImageDraw
+
+    font = _font(font_size)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    total = max(e for _, e, _ in script) + 0.5
+    rng = np.random.default_rng(seed)
+    n = int(total * fps)
+    line_h = font_size + 10
+    for f in range(n):
+        t = f / fps
+        base = _background(style, w, h, f, rng)
         img = Image.fromarray(base)
         draw = ImageDraw.Draw(img)
         for (s, e, text) in script:
-            if s <= t < e:
-                bbox = draw.textbbox((0, 0), text, font=font, stroke_width=2)
+            if not (s <= t < e):
+                continue
+            alpha = 1.0
+            if style == "fade":
+                edge = min(t - s, e - t)
+                alpha = min(1.0, edge / 0.3)
+            lines = text.split("|")
+            rendered = Image.new("RGBA", (w, h), (0, 0, 0, 0))
+            rdraw = ImageDraw.Draw(rendered)
+            for li, line in enumerate(lines):
+                if style == "karaoke":
+                    frac = min(1.0, max(0.1, (t - s) / max(e - s - 0.4, 0.1)))
+                    line = line[: max(1, int(round(len(line) * frac)))]
+                bbox = rdraw.textbbox((0, 0), line, font=font, stroke_width=2)
                 tw = bbox[2] - bbox[0]
                 x = (w - tw) // 2
-                y = h - 70
-                draw.text((x, y), text, font=font, fill=(255, 255, 255),
-                          stroke_width=2, stroke_fill=(0, 0, 0))
+                y = h - 70 - (len(lines) - 1 - li) * line_h
+                rdraw.text((x, y), line, font=font, fill=(255, 255, 255, 255),
+                           stroke_width=2, stroke_fill=(0, 0, 0, 255))
+            if alpha < 1.0:
+                a = rendered.getchannel("A").point(
+                    lambda v: int(v * alpha)
+                )
+                rendered.putalpha(a)
+            img = Image.alpha_composite(img.convert("RGBA"), rendered).convert("RGB")
+            draw = ImageDraw.Draw(img)
         vw.write(np.asarray(img)[:, :, ::-1])
     vw.release()
     return n
@@ -64,7 +117,7 @@ def script_to_srt(script, path):
     from vse_tpu.post.srt import SrtFile, SrtItem
 
     srt = SrtFile(
-        [SrtItem(i + 1, int(s * 1000), int(e * 1000), t)
+        [SrtItem(i + 1, int(s * 1000), int(e * 1000), t.replace("|", "\n"))
          for i, (s, e, t) in enumerate(script)]
     )
     srt.save(path)
@@ -78,6 +131,98 @@ DEFAULT_SCRIPT = [
     (11.0, 13.2, "jumps over the dog"),
     (13.8, 16.0, "one more line here"),
 ]
+
+
+def _timed(lines, dur=2.0, gap=0.5):
+    script, t = [], 0.4
+    for line in lines:
+        script.append((round(t, 2), round(t + dur, 2), line))
+        t += dur + gap
+    return script
+
+
+# >= 50 cues across resolutions and styles (VERDICT r2 next #2). Texts are
+# real-word lines so the word-segmentation reformat stage applies.
+GOLDEN_CORPUS = [
+    {
+        "name": "gradient_960",
+        "style": "gradient", "w": 960, "h": 540, "font": 30,
+        "script": _timed([
+            "hello world", "this is a test", "subtitles from video",
+            "the quick brown fox", "jumps over the dog", "one more line here",
+            "people said the time had come", "a small house near the water",
+            "she found the right answer", "nothing was left behind",
+            "they walked home together",
+        ]),
+    },
+    {
+        "name": "noise_1280",
+        "style": "noise", "w": 1280, "h": 720, "font": 38,
+        "script": _timed([
+            "the night was quiet", "we should go now", "work begins at dawn",
+            "every word was true", "the door opened slowly",
+            "light filled the room", "he never looked back",
+            "the story ends here", "music played all night",
+            "children ran outside", "rain fell for hours",
+        ]),
+    },
+    {
+        "name": "moving_854",
+        "style": "moving", "w": 854, "h": 480, "font": 26,
+        "script": _timed([
+            "keep your eyes open", "follow the old road",
+            "the bridge was broken", "someone called my name",
+            "winter came early", "the letter never arrived",
+            "stars appeared above", "a long way from home",
+            "the city slept below", "morning brought good news",
+            "everything had changed",
+        ]),
+    },
+    {
+        "name": "fade_960",
+        "style": "fade", "w": 960, "h": 540, "font": 30,
+        "script": _timed([
+            "voices in the hall", "the game was over",
+            "water under the bridge", "first light of day",
+            "hold on a little longer", "words left unsaid",
+            "the end of the line", "a new beginning",
+            "thanks for everything", "see you tomorrow",
+            "the show must go on",
+        ], dur=2.2, gap=0.6),
+    },
+    {
+        "name": "two_line_960",
+        "style": "two_line", "w": 960, "h": 540, "font": 28,
+        "script": _timed([
+            "two lines of text|stacked together", "the upper line|and the lower line",
+            "questions came first|answers came later", "some words above|other words below",
+            "the top half speaks|the bottom half listens",
+            "read this line first|then read this one",
+            "short top|a much longer bottom line",
+            "a long opening line here|short end", "left unsaid|left undone",
+            "first the thunder|then the rain",
+        ], dur=2.4, gap=0.6),
+    },
+]
+
+
+def build_corpus(workdir, specs=None):
+    """Render the golden corpus; returns [(name, video_path, ref_srt_path,
+    n_cues, area_ratios)]. Cached by name inside `workdir`."""
+    out = []
+    for spec in specs or GOLDEN_CORPUS:
+        video = os.path.join(workdir, f"{spec['name']}.mp4")
+        ref = os.path.join(workdir, f"{spec['name']}.ref.srt")
+        if not os.path.exists(video):
+            make_video(video, spec["script"], w=spec["w"], h=spec["h"],
+                       font_size=spec["font"], style=spec["style"])
+        script_to_srt(spec["script"], ref)
+        # two-line cues need a taller band; single-line corpora use the
+        # reference default-ish bottom band
+        top = 0.76 if spec["style"] == "two_line" else 0.80
+        out.append((spec["name"], video, ref, len(spec["script"]),
+                    f"{top},0.99,0.05,0.95"))
+    return out
 
 
 def main():

@@ -63,6 +63,10 @@ class EvalResult:
     matched: int
     n_ref: int
     n_pred: int
+    # raw CER numerator/denominator, kept so multi-video corpora can
+    # micro-average (sum) instead of averaging per-video ratios
+    edit_dist: int = 0
+    ref_chars: int = 0
 
     def as_dict(self):
         return {
@@ -119,8 +123,29 @@ def evaluate_srt(
             dist += len(r[2])
             total += len(r[2])
     cer = dist / total if total else 0.0
-    return EvalResult(precision, recall, f1, cer, tp, len(refs), len(preds))
+    return EvalResult(precision, recall, f1, cer, tp, len(refs), len(preds),
+                      edit_dist=dist, ref_chars=total)
 
 
 def evaluate_files(pred_path: str, ref_path: str, **kw) -> EvalResult:
     return evaluate_srt(SrtFile.open(pred_path), SrtFile.open(ref_path), **kw)
+
+
+def micro_average(results: List[EvalResult]) -> EvalResult:
+    """Pool cue counts and CER numerators across videos (corpus-level
+    metrics; per-video ratios would over-weight short videos)."""
+    tp = sum(r.matched for r in results)
+    n_ref = sum(r.n_ref for r in results)
+    n_pred = sum(r.n_pred for r in results)
+    dist = sum(r.edit_dist for r in results)
+    total = sum(r.ref_chars for r in results)
+    precision = tp / n_pred if n_pred else (1.0 if not n_ref else 0.0)
+    recall = tp / n_ref if n_ref else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall > 0
+        else 0.0
+    )
+    cer = dist / total if total else 0.0
+    return EvalResult(precision, recall, f1, cer, tp, n_ref, n_pred,
+                      edit_dist=dist, ref_chars=total)
