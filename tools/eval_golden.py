@@ -102,6 +102,11 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--videos", nargs="*", default=None,
                     help="subset of corpus names")
+    ap.add_argument("--lang-variants", nargs="*", default=[],
+                    dest="lang_variants",
+                    help="per-language fast-mode variants (ru el ka ar "
+                         "korean); only languages with trained heads make "
+                         "sense")
     args = ap.parse_args()
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="vse_golden_")
@@ -171,6 +176,31 @@ def main():
         }
         print(json.dumps({"keyframe_vs_accurate":
                           report["keyframe_vs_accurate"]["scanner_recall"]}))
+
+    # per-language fast-mode variants: each language's own trained head
+    if args.lang_variants:
+        from eval_synth import LANGUAGE_CORPUS
+
+        rows = []
+        for lang in args.lang_variants:
+            spec = LANGUAGE_CORPUS[lang]
+            name, video, ref_srt, cues, area_ratios = build_corpus(
+                workdir, [spec]
+            )[0]
+            lang_engines: dict = {}
+            r, wall, ex = run_mode_on_video(
+                "fast", lang, video, ref_srt, area_ratios, workdir,
+                lang_engines
+            )
+            row = {
+                "language": lang,
+                "rec_loaded": ex.engine.rec_loaded,
+                "wall_seconds": round(wall, 1),
+                **r.as_dict(),
+            }
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+        report["language_variants"] = rows
 
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=1)
