@@ -46,30 +46,29 @@ class FakeEngine:
         self.texts = texts
         self.n = int(seconds_each * fps)
 
-    def lookup(self, frame, dy=0):
-        # stripes live at FULL-frame rows 200:224; band-cropped uploads
-        # shift them to rows 200-dy (the OcrEngine `origin` contract)
-        y0, y1 = 200 - dy, 224 - dy
-        if y0 < 0 or y1 > frame.shape[0]:
+    def lookup(self, frame):
+        """Find the stripe band anywhere in the (possibly band-cropped)
+        frame; returns (text, y0, y1) in INPUT coords, like a real det."""
+        rows = np.nonzero((frame > 128).any(axis=(1, 2)))[0]
+        if len(rows) == 0:
             return None
-        band = frame[y0:y1]
-        if band.max() < 128:
-            return None
-        # recover segment id from stripe phase
-        cols = np.nonzero(band[0, :, 0] > 128)[0]
+        y0, y1 = int(rows.min()), int(rows.max()) + 1
+        cols = np.nonzero(frame[y0, :, 0] > 128)[0]
         seg = max(0, (cols[0] - 20) // 3)
-        return self.texts[min(seg, len(self.texts) - 1)]
+        return self.texts[min(seg, len(self.texts) - 1)], y0, y1
 
     def predict_batch(self, frames, origin=(0, 0)):
-        dy, _dx = origin
+        dy, dx = origin
         out = []
         for f in frames:
-            text = self.lookup(np.asarray(f), dy)
-            if text is None:
+            hit = self.lookup(np.asarray(f))
+            if hit is None:
                 out.append(([], []))
             else:
-                # full-frame coords, like the real engine after `origin`
-                quad = [(20, 200), (300, 200), (300, 224), (20, 224)]
+                # input-relative coords + origin, like the real engine
+                text, y0, y1 = hit
+                quad = [(20 + dx, y0 + dy), (300 + dx, y0 + dy),
+                        (300 + dx, y1 + dy), (20 + dx, y1 + dy)]
                 out.append(([quad], [(text, 0.95)]))
         return out
 

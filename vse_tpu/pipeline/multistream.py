@@ -35,12 +35,15 @@ class TaggedBatch:
 
 
 def interleave_streams(
-    streams: Sequence[FrameStream], batch_size: int
+    streams: Sequence[FrameStream], batch_size: int,
+    crop: Optional[Tuple[int, int]] = None,
 ) -> Iterator[TaggedBatch]:
     """Round-robin frames from several streams into shared batches.
 
     Streams must share a frame geometry. Exhausted streams drop out; the
-    final partial batch is padded."""
+    final partial batch is padded. `crop=(y0, y1)`: keep only those frame
+    rows (the shared subtitle band — host->device bytes discipline; callers
+    pass origin=(y0, 0) to the engine)."""
     iters: List[Tuple[int, Iterator]] = [(i, iter(s)) for i, s in enumerate(streams)]
     # per-stream leftover frames (from that stream's own batching)
     pending: List[Tuple[int, np.ndarray, int]] = []
@@ -56,10 +59,11 @@ def interleave_streams(
                 continue
             alive.append((vid, it))
             n = int(b.valid.sum())
+            frames = b.frames if crop is None else b.frames[:, crop[0]:crop[1]]
             for k in range(n):
-                pending.append((vid, b.frames[k], int(b.frame_nos[k])))
+                pending.append((vid, frames[k], int(b.frame_nos[k])))
             if shape is None and n:
-                shape = b.frames[0].shape
+                shape = frames[0].shape
         iters[:] = alive
 
     while True:
@@ -166,14 +170,18 @@ def extract_many(
 
 
 def _geometry_groups(extractors):
-    groups: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    """Group by (H, W, upload_band): only videos sharing a geometry AND the
+    same subtitle band can share compiled batches (band uploads keep the
+    per-video byte discipline in the batch API too)."""
+    groups: Dict[Tuple, List[int]] = defaultdict(list)
     for i, ex in enumerate(extractors):
-        groups[(ex.frame_height, ex.frame_width)].append(i)
+        groups[(ex.frame_height, ex.frame_width, ex.upload_band())].append(i)
     return groups
 
 
 def _many_fps(extractors, engine: OcrEngine, config: VseConfig) -> None:
-    for (h, w), ids in _geometry_groups(extractors).items():
+    for (h, w, band), ids in _geometry_groups(extractors).items():
+        origin = (band[0], 0) if band is not None else (0, 0)
         streams = []
         for i in ids:
             ex = extractors[i]
@@ -181,9 +189,10 @@ def _many_fps(extractors, engine: OcrEngine, config: VseConfig) -> None:
             streams.append(FrameStream(ex.video_path,
                                        batch_size=config.frame_batch,
                                        stride=stride))
-        for batch in interleave_streams(streams, config.frame_batch):
+        for batch in interleave_streams(streams, config.frame_batch,
+                                        crop=band):
             nv = int(batch.valid.sum())
-            results = engine.predict_batch(batch.frames[:nv])
+            results = engine.predict_batch(batch.frames[:nv], origin=origin)
             for k in range(nv):
                 ex = extractors[ids[int(batch.video_ids[k])]]
                 ex._gate_and_record(int(batch.frame_nos[k]), *results[k])
@@ -194,16 +203,18 @@ def _many_fps(extractors, engine: OcrEngine, config: VseConfig) -> None:
 def _many_accurate(extractors, engine: OcrEngine, config: VseConfig) -> None:
     from vse_tpu.pipeline.extractor import DetSpanTracker
 
-    for (h, w), ids in _geometry_groups(extractors).items():
+    for (h, w, band), ids in _geometry_groups(extractors).items():
+        origin = (band[0], 0) if band is not None else (0, 0)
         streams = [
             FrameStream(extractors[i].video_path,
                         batch_size=config.frame_batch, stride=1)
             for i in ids
         ]
         trackers = {i: DetSpanTracker(extractors[i]) for i in ids}
-        for batch in interleave_streams(streams, config.frame_batch):
+        for batch in interleave_streams(streams, config.frame_batch,
+                                        crop=band):
             nv = int(batch.valid.sum())
-            results = engine.predict_batch(batch.frames[:nv])
+            results = engine.predict_batch(batch.frames[:nv], origin=origin)
             for k in range(nv):
                 vid = ids[int(batch.video_ids[k])]
                 trackers[vid].feed(int(batch.frame_nos[k]), *results[k])
@@ -212,32 +223,42 @@ def _many_accurate(extractors, engine: OcrEngine, config: VseConfig) -> None:
             extractors[i]._frame_to_ms.update(s.frame_to_ms)
 
 
+def _shift_quads(dt_box: list, dy: int) -> list:
+    return [[(x, y + dy) for (x, y) in quad] for quad in dt_box]
+
+
 def _many_keyframe(extractors, engine: OcrEngine, config: VseConfig) -> None:
     from vse_tpu.video.decode import read_frames
 
-    # pass 1 per video (cheap stats kernel); pass 2 pooled across videos
-    todo = []  # (extractor, frame np.ndarray, record_key)
+    # pass 1 per video (cheap stats kernel); pass 2 pooled across videos,
+    # band-cropped per extractor (boxes shifted back by the per-item band
+    # offset — items with different bands can still share a compiled bucket
+    # as long as the cropped shapes match)
+    todo = []  # (extractor, full frame, band-cropped frame, dy, record_key)
     for ex in extractors:
         spans = ex.scan_keyframe_spans()
         wanted, keys = ex.keyframe_rep_targets(spans)
         decoded = read_frames(ex.video_path, wanted)
+        band = ex.upload_band()
+        y0 = band[0] if band is not None else 0
         for f, key in zip(decoded, keys):
             if f is not None:
-                todo.append((ex, f, key))
-    # group by geometry so shapes share compiled buckets
+                fc = f if band is None else f[band[0]:band[1]]
+                todo.append((ex, f, fc, y0, key))
+    # group by cropped geometry so shapes share compiled buckets
     by_shape: Dict[Tuple[int, int], List[int]] = defaultdict(list)
-    for idx, (_, f, _) in enumerate(todo):
-        by_shape[f.shape[:2]].append(idx)
+    for idx, (_, _, fc, _, _) in enumerate(todo):
+        by_shape[fc.shape[:2]].append(idx)
     B = config.frame_batch
     for idxs in by_shape.values():
         for i in range(0, len(idxs), B):
             chunk_ids = idxs[i : i + B]
-            chunk = np.stack([todo[j][1] for j in chunk_ids])
+            chunk = np.stack([todo[j][2] for j in chunk_ids])
             results = engine.predict_batch(chunk)
             for j, (dt_box, rec_res) in zip(chunk_ids, results):
-                ex, frame, key = todo[j]
-                ex._gate_and_record(key, dt_box, rec_res, frame=frame,
-                                    ab_checked=True)
+                ex, frame, _fc, dy, key = todo[j]
+                ex._gate_and_record(key, _shift_quads(dt_box, dy), rec_res,
+                                    frame=frame, ab_checked=True)
 
 
 def extract_many_fps(
