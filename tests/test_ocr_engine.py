@@ -127,3 +127,45 @@ def test_server_rec_falls_back_to_trained_mobile():
     if not os.path.isdir(rec_ckpt_path("en", "server")):
         assert eng.rec_variant == "mobile"  # fallback engaged
         assert eng.rec_loaded
+
+
+@pytest.mark.slow
+def test_rectify_reads_tilted_subtitle():
+    """Rotated-text path end-to-end (VERDICT r2 weak #6): a tilted burned-in
+    line goes through predict_batch with rectify on — the PCA angle from
+    db_postprocess drives the perspective crop and the REAL rec head must
+    still read it."""
+    import os
+
+    from PIL import Image, ImageDraw, ImageFont
+
+    from vse_tpu.core.config import Mode, VseConfig
+    from vse_tpu.core.registry import rec_ckpt_path
+    from vse_tpu.pipeline.ocr_engine import OcrEngine
+
+    if not os.path.isdir(rec_ckpt_path("en", "mobile")):
+        pytest.skip("no trained en head")
+
+    # render a tilted subtitle line onto a dark frame
+    text_img = Image.new("RGBA", (360, 60), (0, 0, 0, 0))
+    d = ImageDraw.Draw(text_img)
+    font = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf", 30
+    )
+    d.text((6, 8), "hello world", font=font, fill=(255, 255, 255, 255),
+           stroke_width=2, stroke_fill=(0, 0, 0, 255))
+    rot = text_img.rotate(6, expand=True, resample=Image.BICUBIC)
+    frame = Image.new("RGB", (640, 360), (25, 30, 45))
+    frame.paste(rot, (130, 250), rot)
+    f = np.asarray(frame, np.uint8)
+
+    cfg = VseConfig(language="en", mode=Mode.FAST, rec_rectify=True)
+    eng = OcrEngine(language="en", mode=Mode.FAST, config=cfg)
+    if not eng.rec_loaded:
+        pytest.skip("rec head not loaded")
+    dt_box, rec_res = eng.predict(f)
+    assert rec_res, "no text detected on the tilted line"
+    joined = "".join(t for t, _ in rec_res).replace(" ", "")
+    from vse_tpu.ops.levenshtein import ratio
+
+    assert ratio(joined, "helloworld") >= 0.8, rec_res
