@@ -252,6 +252,25 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
                                    interpolation=cv2.INTER_LINEAR)
                 x[k] = cv2.resize(small, (w, h),
                                   interpolation=cv2.INTER_LINEAR)
+        if aug_rng.random() < 0.5:
+            # crop-expansion geometry: production crops arrive through
+            # rec_crop_expand_y (ops-level vertical expansion), so glyphs
+            # occupy ~50-80% of the crop height with background bands
+            # above/below — renders are born full-height
+            import cv2
+
+            h, w = x.shape[1], x.shape[2]
+            sy = float(aug_rng.uniform(0.55, 0.85))
+            nh = max(12, int(h * sy))
+            y_off = int(aug_rng.integers(0, h - nh + 1))
+            for k in range(x.shape[0]):
+                small = cv2.resize(x[k], (w, nh),
+                                   interpolation=cv2.INTER_LINEAR)
+                canvas = np.empty_like(x[k])
+                canvas[:y_off] = small[0]
+                canvas[y_off : y_off + nh] = small
+                canvas[y_off + nh :] = small[-1]
+                x[k] = canvas
         return x
 
     def _cache_batch(i: int):
