@@ -116,6 +116,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     _build_extract_parser(sub)
     sub.add_parser("sync", add_help=False,
                    help="audio-correlation subtitle re-timer (sushi-compatible flags)")
+    sub.add_parser("gui", add_help=False,
+                   help="browser-based GUI (http server; see vse_tpu/gui)")
     args, rest = ap.parse_known_args(argv)
     if args.command == "extract":
         return cmd_extract(args)
@@ -123,6 +125,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         from vse_tpu.sync.cli import parse_args_and_run
 
         parse_args_and_run(rest)
+        return 0
+    if args.command == "gui":
+        from vse_tpu.gui.server import main as gui_main
+
+        gui_main(rest)
         return 0
     ap.print_help()
     return 2

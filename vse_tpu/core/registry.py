@@ -86,17 +86,35 @@ def resolve(language: str, mode: Mode, accelerated: bool = True) -> ModelSpec:
 
 
 def save_params(params: Any, path: str, meta: Optional[dict] = None) -> None:
+    """Crash-safe checkpoint write: stage to a sibling dir, then swap.
+
+    orbax's force=True deletes the destination before finalizing, so a kill
+    mid-save (routine on this box: wall-clock kills, tunnel wedges) would
+    destroy the previous checkpoint too. Staging + rename keeps the old
+    checkpoint intact until the new one is fully on disk.
+    """
     import json
+    import shutil
 
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    staged = path + ".staged"
+    if os.path.isdir(staged):
+        shutil.rmtree(staged)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, params, force=True)
+    ckptr.save(staged, params, force=True)
     ckptr.wait_until_finished()
     if meta is not None:
-        with open(os.path.join(path, "vse_meta.json"), "w", encoding="utf-8") as f:
+        with open(os.path.join(staged, "vse_meta.json"), "w", encoding="utf-8") as f:
             json.dump(meta, f)
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def load_meta(path: str) -> Optional[dict]:

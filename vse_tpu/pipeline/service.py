@@ -77,6 +77,24 @@ class ExtractionService:
             self.tasks.append(task)
         return task
 
+    def remove_task(self, task: ExtractionTask) -> bool:
+        """Remove a task that is not currently processing (reference task
+        list only mutates pending/finished rows)."""
+        with self._lock:
+            if task in self.tasks and task.status != TaskStatus.PROCESSING:
+                self.tasks.remove(task)
+                return True
+        return False
+
+    def invalidate_engine(self) -> None:
+        """Drop the cached compiled engine (required after a config change
+        that alters the model selection: language / mode / acceleration)."""
+        self._engine = None
+
+    @property
+    def running(self) -> bool:
+        return bool(self._worker and self._worker.is_alive())
+
     def run_all(self, block: bool = True) -> None:
         """Process the queue; one worker, engine reused across videos."""
         if self._worker and self._worker.is_alive():

@@ -187,6 +187,10 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     }
 
     def checkpoint(step):
+        # opt sidecar FIRST: if we die between the two saves, the main
+        # checkpoint's step is older than the sidecar's and the mismatch
+        # check below simply ignores the sidecar
+        save_params(opt_state, path + ".opt", meta={"step": step})
         save_params(
             {"params": params, "batch_stats": batch_stats}, path,
             meta={**meta, "step": step},
@@ -209,6 +213,10 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
                 batch_stats = restored["batch_stats"]
                 start_step = int(prior_meta.get("step", 0))
                 print(f"resuming {path} from step {start_step}")
+                opt_meta = load_meta(path + ".opt")
+                if opt_meta and int(opt_meta.get("step", -1)) == start_step:
+                    opt_state = load_params(path + ".opt", like=opt_state)
+                    print("restored optimizer state (adam moments + schedule)")
             except Exception as e:
                 print(f"resume failed ({e}); training from scratch")
 
@@ -462,14 +470,23 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
             batch_stats = {k: v for k, v in restored.items() if k != "params"}
             start_step = int((prior_meta or {}).get("step", 0))
             print(f"resuming {path} from step {start_step}")
+            opt_meta = load_meta(path + ".opt")
+            if opt_meta and int(opt_meta.get("step", -1)) == start_step:
+                opt_state = load_params(path + ".opt", like=opt_state)
+                print("restored optimizer state (adam moments + schedule)")
         except Exception as e:
             print(f"resume failed ({e}); training from scratch")
+
+    def det_checkpoint(step):
+        save_params(opt_state, path + ".opt", meta={"step": step})
+        save_params({"params": params, **batch_stats}, path,
+                    meta={"variant": variant, "step": step})
+
     t0 = time.time()
     try:
         for i in range(start_step, steps):
             if i > 0 and i % 500 == 0:
-                save_params({"params": params, **batch_stats}, path,
-                            meta={"variant": variant, "step": i})
+                det_checkpoint(i)
             hb = {k: jnp.asarray(v) for k, v in q.get().items()}
             params, mut, opt_state, loss, metrics = step_fn(
                 params, batch_stats, opt_state, hb
@@ -484,8 +501,7 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
                 )
     finally:
         stop.set()
-    save_params({"params": params, **batch_stats}, path,
-                meta={"variant": variant, "step": steps})
+    det_checkpoint(steps)
     print(f"saved {path}")
     return path
 
