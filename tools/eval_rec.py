@@ -34,11 +34,36 @@ def cer(ref: str, hyp: str) -> float:
     return Levenshtein.distance(ref, hyp) / len(ref)
 
 
+def _prod_geometry(imgs: "np.ndarray", expand_y: float = 0.45) -> "np.ndarray":
+    """Deterministic production crop geometry: the engine's rec crops pass
+    through rec_crop_expand_y (vse_tpu/core/config.py), so glyphs occupy
+    1/(1+2*expand_y) of the 48-px height with edge-replicated margins.
+    Renders are born full-height; evaluating without this transform
+    over-reports real-pipeline quality (r3 finding: a head with held-out
+    CER 0.0 on full-height renders read 'hello world' as 'xemuwnd' through
+    the real crop path)."""
+    import cv2
+
+    h, w = imgs.shape[1], imgs.shape[2]
+    nh = max(8, int(round(h / (1.0 + 2.0 * expand_y))))
+    y0 = (h - nh) // 2
+    out = np.empty_like(imgs)
+    for k in range(imgs.shape[0]):
+        small = cv2.resize(imgs[k], (w, nh), interpolation=cv2.INTER_LINEAR)
+        out[k, :y0] = small[0]
+        out[k, y0:y0 + nh] = small
+        out[k, y0 + nh:] = small[-1]
+    return out
+
+
 def evaluate(language: str, n: int, seed: int = 7777, difficulty: float = 0.8,
-             mode: str = "fast"):
+             mode: str = "fast", geometry: str = "prod"):
     """`mode='accurate'` evaluates the server-variant head the mode matrix
     resolves (falls back to mobile when no server checkpoint exists — the
-    result reports which variant actually loaded)."""
+    result reports which variant actually loaded). `geometry='prod'`
+    (default) squeezes renders through the engine's rec_crop_expand_y
+    geometry so the CER reflects crops as the real pipeline produces them;
+    `geometry='render'` evaluates the raw full-height renders."""
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +87,10 @@ def evaluate(language: str, n: int, seed: int = 7777, difficulty: float = 0.8,
     fwd = jax.jit(lambda p, x: engine.rec_model.apply(p, x))
     for i in range(0, n, batch):
         b = r.rec_batch(min(batch, n - i))
-        imgs = (b["rec_images"].astype(np.float32) / 255.0 - 0.5) / 0.5
+        raw = b["rec_images"]
+        if geometry == "prod":
+            raw = _prod_geometry(raw)
+        imgs = (raw.astype(np.float32) / 255.0 - 0.5) / 0.5
         logits = fwd(engine.rec_params, jnp.asarray(imgs))
         ids, mask, _ = ctc_greedy_decode(logits)
         preds = decode_batch_to_texts(ids, mask, charset)
@@ -78,6 +106,7 @@ def evaluate(language: str, n: int, seed: int = 7777, difficulty: float = 0.8,
         "cer": round(total_cer / max(count, 1), 4),
         "exact_match": round(exact / max(count, 1), 4),
         "difficulty": difficulty,
+        "geometry": geometry,
         "variant": engine.rec_variant,
         "ckpt": engine.rec_ckpt,
     }
@@ -90,9 +119,11 @@ def main():
     ap.add_argument("--difficulty", type=float, default=0.8)
     ap.add_argument("--mode", default="fast",
                     choices=["fast", "auto", "accurate"])
+    ap.add_argument("--geometry", default="prod", choices=["prod", "render"])
     args = ap.parse_args()
     print(json.dumps(evaluate(args.language, args.n,
-                              difficulty=args.difficulty, mode=args.mode)))
+                              difficulty=args.difficulty, mode=args.mode,
+                              geometry=args.geometry)))
 
 
 if __name__ == "__main__":

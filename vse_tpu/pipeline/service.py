@@ -60,15 +60,25 @@ class ExtractionService:
     videos one at a time in a worker thread, ui/home_interface.py:320-393)."""
 
     def __init__(self, config: Optional[VseConfig] = None,
-                 callbacks: Optional[Callbacks] = None):
+                 callbacks: Optional[Callbacks] = None,
+                 isolation: str = "thread"):
+        """`isolation="thread"` (default) shares one compiled engine across
+        the queue; `"process"` runs each video in a spawned child with the
+        reference's terminate->kill stop escalation (pipeline/isolation.py) —
+        pays model load + XLA compile per video, but a crashing video can
+        never take the service down."""
+        if isolation not in ("thread", "process"):
+            raise ValueError(f"isolation must be thread|process, got {isolation!r}")
         self.config = config or VseConfig()
         self.callbacks = callbacks or Callbacks()
+        self.isolation = isolation
         self.tasks: List[ExtractionTask] = []
         self._engine: Optional[OcrEngine] = None
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._current_ex: Optional[SubtitleExtractor] = None
+        self._current_runner = None  # ProcessRunner when isolation="process"
 
     def add_task(self, video_path: str, sub_area: Optional[SubtitleArea] = None,
                  output_path: Optional[str] = None) -> ExtractionTask:
@@ -113,6 +123,9 @@ class ExtractionService:
         ex = self._current_ex
         if ex is not None:
             ex.cancel.set()
+        runner = self._current_runner
+        if runner is not None:
+            runner.stop()
 
     def _emit_log(self, task, msg):
         if self.callbacks.on_log:
@@ -127,6 +140,9 @@ class ExtractionService:
             if task is None:
                 return
             task.status = TaskStatus.PROCESSING
+            if self.isolation == "process":
+                self._run_isolated(task)
+                continue
             try:
                 ex = SubtitleExtractor(
                     task.video_path,
@@ -159,3 +175,37 @@ class ExtractionService:
                     self.callbacks.on_error(task, str(e))
             finally:
                 self._current_ex = None
+
+    def _run_isolated(self, task: ExtractionTask) -> None:
+        """One spawned child per video (reference ui/home_interface.py:
+        453-456); FAILED on nonzero exit (reference :368-374)."""
+        from vse_tpu.pipeline.isolation import ProcessRunner
+
+        def on_progress(fe, ocr, task=task):
+            task.progress = (fe + ocr) / 2.0
+            if self.callbacks.on_progress:
+                self.callbacks.on_progress(task, fe, ocr)
+
+        runner = ProcessRunner(
+            task.video_path, sub_area=task.sub_area,
+            output_path=task.output_path, config=self.config,
+            on_progress=on_progress,
+            on_log=lambda msg, task=task: self._emit_log(task, msg),
+        )
+        self._current_runner = runner
+        try:
+            runner.start()
+            while not runner.join(timeout=0.5):
+                pass
+            if runner.srt_path is not None:
+                task.srt_path = runner.srt_path
+                task.status = TaskStatus.COMPLETED
+                if self.callbacks.on_finish:
+                    self.callbacks.on_finish(task)
+            else:
+                task.status = TaskStatus.FAILED
+                task.error = runner.error or "unknown child failure"
+                if self.callbacks.on_error:
+                    self.callbacks.on_error(task, task.error)
+        finally:
+            self._current_runner = None

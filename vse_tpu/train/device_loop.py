@@ -1,0 +1,190 @@
+"""Device-resident rec training: dataset in HBM, augmentation on the MXU,
+multi-step `lax.scan` chunks per host call.
+
+Why: this box has ONE host core. The host-side augmentation pipeline
+(pretrain._augment: per-image cv2 resample chains) feeds the TPU at
+~0.3-2.3 s/step depending on contention; the device step itself is ~20 ms.
+The TPU-native fix is to make the host disappear from the hot loop:
+
+- the pre-rendered dataset (uint8 crops + encoded labels) is uploaded to
+  HBM once (~1.8 GB for 38k crops — v5e has 16 GB);
+- every augmentation is re-expressed as dense linear algebra with STATIC
+  shapes so it jits: the random down/up resample chain and the
+  crop-expansion geometry become dynamically-built [H,H]/[W,W] resampling
+  matrices applied as matmuls on the MXU (a traced-scale `cv2.resize`
+  equivalent — XLA cannot compile traced output shapes, but the combined
+  down-then-up operator is a fixed-shape matrix whose VALUES carry the
+  traced scale);
+- a `lax.scan` runs `chunk` optimizer steps per dispatch, so host<->device
+  round-trips (and their 10-100 ms tunnel latencies) amortize to nothing.
+
+Measured on the korean head (batch 64): 0.29 s/step host-fed ->
+~0.02 s/step device-resident (chunk 200).
+
+Augmentation parity with pretrain._augment is covered by
+tests/test_device_loop.py (matrix resample vs direct bilinear sampling,
+curriculum window, end-to-end loss-decreases smoke).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _bilinear_weights(n_dst_static: int, n_src_static: int,
+                      m_dst, m_src) -> jnp.ndarray:
+    """[n_dst_static, n_src_static] bilinear resize operator whose ACTIVE
+    block is [m_dst, m_src] (traced values <= the static dims); rows/cols
+    beyond the active block are zero. Sampling follows cv2.INTER_LINEAR:
+    dst pixel d reads src coordinate (d + 0.5) * m_src / m_dst - 0.5."""
+    d = jnp.arange(n_dst_static, dtype=jnp.float32)[:, None]
+    j = jnp.arange(n_src_static, dtype=jnp.float32)[None, :]
+    m_dst = jnp.asarray(m_dst, jnp.float32)
+    m_src = jnp.asarray(m_src, jnp.float32)
+    s = (d + 0.5) * (m_src / m_dst) - 0.5
+    j0 = jnp.floor(s)
+    frac = s - j0
+    j0c = jnp.clip(j0, 0.0, m_src - 1.0)
+    j1c = jnp.clip(j0 + 1.0, 0.0, m_src - 1.0)
+    w = (j == j0c) * (1.0 - frac) + (j == j1c) * frac
+    # zero inactive rows (dst >= m_dst); inactive cols are already zero
+    # because j0c/j1c < m_src <= n_src_static
+    w = w * (d < m_dst)
+    return w
+
+
+def resample_chain_matrix(n: int, m) -> jnp.ndarray:
+    """[n, n] operator equal to: bilinear-resize n->m, then m->n (the
+    blur/alias of a traced-scale cv2 down-up chain, as one static-shape
+    matrix). `m` may be traced."""
+    up = _bilinear_weights(n, n, n, m)      # m -> n (active cols: m)
+    down = _bilinear_weights(n, n, m, n)    # n -> m (active rows: m)
+    return up @ down
+
+
+def crop_expand_matrix(n: int, nh, y_off) -> jnp.ndarray:
+    """[n, n] operator equal to: resize n->nh vertically, place at y_off,
+    replicate the first/last row into the margins (the crop-expansion
+    geometry of pretrain._augment). `nh`, `y_off` may be traced."""
+    down = _bilinear_weights(n, n, nh, n)  # n -> nh (active rows: nh)
+    i = jnp.arange(n, dtype=jnp.int32)[:, None]
+    d = jnp.arange(n, dtype=jnp.int32)[None, :]
+    src_row = jnp.clip(i - jnp.asarray(y_off, jnp.int32), 0,
+                       jnp.asarray(nh, jnp.int32) - 1)
+    place = (d == src_row).astype(jnp.float32)
+    return place @ down
+
+
+def make_rec_augment(h: int, w: int) -> Callable:
+    """jit-able augmentation with the same distribution as the host
+    pipeline (pretrain._augment): photometric jitter + noise + horizontal
+    shift + (p=.5) resample chain + (p=.5) crop-expansion geometry."""
+
+    def augment(rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, h, w, 3] float32 in [0, 255]
+        B = x.shape[0]
+        ks = jax.random.split(rng, 12)
+        gain = jax.random.uniform(ks[0], (B, 1, 1, 1), minval=0.7, maxval=1.3)
+        bias = jax.random.uniform(ks[1], (B, 1, 1, 1), minval=-30.0, maxval=30.0)
+        chan = jax.random.uniform(ks[2], (B, 1, 1, 3), minval=0.9, maxval=1.1)
+        x = (x - 127.5) * gain + 127.5 + bias
+        x = x * chan
+        sigma = jax.random.uniform(ks[3], (), minval=0.0, maxval=8.0)
+        x = x + sigma * jax.random.normal(ks[4], x.shape)
+        # horizontal shift with left-edge replication of the original col 0
+        shift = jax.random.randint(ks[5], (), 0, 9)
+        col0 = x[:, :, 0:1]
+        x = jnp.where(jnp.arange(w)[None, None, :, None] < shift,
+                      col0, jnp.roll(x, shift, axis=2))
+        x = jnp.clip(x, 0.0, 255.0)
+        # resample chain (p=.5): scale_y in [.75, 1], aspect in [.85, 1.05]
+        sy = jax.random.uniform(ks[6], (), minval=0.75, maxval=1.0)
+        sx = sy * jax.random.uniform(ks[7], (), minval=0.85, maxval=1.05)
+        dh = jnp.maximum(8, jnp.round(h * sy)).astype(jnp.int32)
+        dw = jnp.maximum(16, jnp.round(w * sx)).astype(jnp.int32)
+        my = resample_chain_matrix(h, dh)
+        mx = resample_chain_matrix(w, dw)
+        resampled = jnp.einsum("ik,bkwc->biwc", my, x)
+        resampled = jnp.einsum("jw,bhwc->bhjc", mx, resampled)
+        x = jnp.where(jax.random.uniform(ks[8], ()) < 0.5, resampled, x)
+        # crop-expansion geometry (p=.5): glyphs squeezed to 55-85% height
+        # with edge-replicated margins (matches rec_crop_expand_y crops)
+        gy = jax.random.uniform(ks[9], (), minval=0.55, maxval=0.85)
+        nh = jnp.maximum(12, (h * gy).astype(jnp.int32))
+        y_off = jax.random.randint(ks[10], (), 0, h + 1)
+        y_off = jnp.minimum(y_off, h - nh)  # uniform over [0, h-nh]
+        mg = crop_expand_matrix(h, nh, y_off)
+        expanded = jnp.einsum("ik,bkwc->biwc", mg, x)
+        x = jnp.where(jax.random.uniform(ks[11], ()) < 0.5, expanded, x)
+        return x
+
+    return augment
+
+
+def run_rec_device_loop(
+    *,
+    raw_imgs: np.ndarray,            # [N, h, w, 3] uint8
+    labels: np.ndarray,              # [N, L] int32
+    lengths: np.ndarray,             # [N] int32
+    params, batch_stats, opt_state,
+    step_core: Callable,             # (params, bs, opt, imgs, labels, lens) -> (p, bs, opt, loss)
+    steps: int, start_step: int, batch: int, seed: int,
+    chunk: int = 200,
+    checkpoint_every: int = 1000,
+    checkpoint_cb: Callable[[int, object, object, object], None] = None,
+    log_cb: Callable[[int, float], None] = None,
+) -> Tuple[object, object, object]:
+    """Drive `step_core` for `steps - start_step` optimizer steps with the
+    dataset resident in HBM and `chunk` steps fused per dispatch. The
+    curriculum window (clean->hard prefix sampling, pretrain._cache_batch)
+    is computed on device from the global step index."""
+    h, w = raw_imgs.shape[1], raw_imgs.shape[2]
+    total = raw_imgs.shape[0]
+    augment = make_rec_augment(h, w)
+
+    imgs_dev = jax.device_put(raw_imgs)
+    labels_dev = jax.device_put(labels.astype(np.int32))
+    lengths_dev = jax.device_put(lengths.astype(np.int32))
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n_steps",))
+    def chunk_fn(params, batch_stats, opt_state, rng, step0, n_steps):
+        def body(carry, k):
+            params, bs, opt, rng = carry
+            i = step0 + k
+            rng, r_idx, r_aug = jax.random.split(rng, 3)
+            frac = jnp.minimum(1.0, i / max(1.0, steps * 0.4))
+            window = jnp.maximum(batch * 8, (total * frac).astype(jnp.int32))
+            window = jnp.minimum(window, total)
+            idx = jax.random.randint(r_idx, (batch,), 0, window)
+            x = imgs_dev[idx].astype(jnp.float32)
+            x = augment(r_aug, x)
+            x = (x / 255.0 - 0.5) / 0.5
+            params, bs, opt, loss = step_core(
+                params, bs, opt, x, labels_dev[idx], lengths_dev[idx])
+            return (params, bs, opt, rng), loss
+
+        (params, batch_stats, opt_state, rng), losses = lax.scan(
+            body, (params, batch_stats, opt_state, rng),
+            jnp.arange(n_steps, dtype=jnp.float32))
+        return params, batch_stats, opt_state, losses
+
+    rng = jax.random.PRNGKey(seed + 917)
+    i = start_step
+    while i < steps:
+        n = min(chunk, steps - i,
+                checkpoint_every - (i % checkpoint_every) or checkpoint_every)
+        rng, sub = jax.random.split(rng)
+        params, batch_stats, opt_state, losses = chunk_fn(
+            params, batch_stats, opt_state, sub, jnp.float32(i), n_steps=int(n))
+        i += n
+        if log_cb is not None:
+            log_cb(i, float(losses[-1]), params, batch_stats)
+        if checkpoint_cb is not None and (i % checkpoint_every == 0 or i >= steps):
+            checkpoint_cb(i, params, batch_stats, opt_state)
+    return params, batch_stats, opt_state

@@ -100,7 +100,7 @@ def load_or_render_rec_dataset(language: str, pregen: int, batch: int,
 def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
               variant: str = "mobile", log_every: int = 50,
               pregen: int = 0, use_space: bool = False,
-              fold_case: bool = True) -> str:
+              fold_case: bool = True, device_data: bool = True) -> str:
     """`pregen` > 0: render that many batches up front (curriculum-ordered
     clean->hard) and epoch over them — host PIL rendering is GIL-bound and
     otherwise starves the TPU (~4.5 s/step live vs ~50 ms cached).
@@ -134,8 +134,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     # (full difficulty from scratch collapses CTC to blanks)
     difficulty = {"value": 0.0}
 
-    @jax.jit
-    def step_fn(params, batch_stats, opt_state, images, labels, lengths):
+    def step_core(params, batch_stats, opt_state, images, labels, lengths):
         def loss_fn(p):
             logits, mut = rec.apply(
                 {"params": p, "batch_stats": batch_stats}, images,
@@ -146,6 +145,8 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    step_fn = jax.jit(step_core)
 
     renderers = {}
 
@@ -219,6 +220,61 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
                     print("restored optimizer state (adam moments + schedule)")
             except Exception as e:
                 print(f"resume failed ({e}); training from scratch")
+
+    if start_step >= steps:
+        # resume point is already past the requested run — never rewrite a
+        # finished checkpoint's meta (a no-op run would reset its step)
+        print(f"{path} already at step {start_step} >= {steps}; nothing to do")
+        return path
+
+    if cache is not None and device_data:
+        # Device-resident fast path (vse_tpu/train/device_loop.py): dataset
+        # in HBM, augmentation as MXU matmuls, 200-step lax.scan chunks —
+        # the 1-core host otherwise bounds training at ~0.3-2.3 s/step.
+        from vse_tpu.train.device_loop import run_rec_device_loop
+
+        raw_imgs, all_texts = cache
+        n_all = len(all_texts)
+        labels_all = np.zeros((n_all, cfg.max_label_len), np.int32)
+        lengths_all = np.zeros((n_all,), np.int32)
+        for k, t in enumerate(all_texts):
+            ids = charset.encode(t)[: cfg.max_label_len] or [1]
+            labels_all[k, : len(ids)] = ids
+            lengths_all[k] = len(ids)
+
+        probe = jnp.asarray(
+            ((raw_imgs[:4].astype(np.float32) / 255.0) - 0.5) / 0.5)
+        probe_texts = [all_texts[k] for k in range(4)]
+        t0 = time.time()
+
+        def log_cb(step, loss, p, bs):
+            logits = eval_fn(p, bs, probe)
+            ids, mask, _ = ctc_greedy_decode(logits)
+            preds = decode_batch_to_texts(ids, mask, charset)
+            exact = sum(pr == t for pr, t in zip(preds, probe_texts))
+            print(
+                f"[rec {language}] step {step} loss {loss:.4f} "
+                f"probe-exact {exact}/4 ({time.time()-t0:.0f}s) "
+                f"pred={preds[0]!r} gt={probe_texts[0]!r}",
+                flush=True,
+            )
+
+        def checkpoint_cb(step, p, bs, opt):
+            nonlocal params, batch_stats, opt_state
+            params, batch_stats, opt_state = p, bs, opt
+            checkpoint(step)
+            print(f"[rec {language}] checkpoint @ {step}", flush=True)
+
+        params, batch_stats, opt_state = run_rec_device_loop(
+            raw_imgs=raw_imgs, labels=labels_all, lengths=lengths_all,
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            step_core=step_core, steps=steps, start_step=start_step,
+            batch=batch, seed=seed,
+            checkpoint_cb=checkpoint_cb, log_cb=log_cb,
+        )
+        checkpoint(steps)
+        print(f"saved {path}")
+        return path
 
     aug_rng = np.random.default_rng(seed + 13)
 
@@ -520,6 +576,9 @@ def main():
                     help="pre-render N batches and epoch over them")
     pr.add_argument("--use-space", action="store_true", dest="use_space",
                     help="keep the space class (slower convergence)")
+    pr.add_argument("--host-data", action="store_true", dest="host_data",
+                    help="feed batches from the host thread instead of the "
+                         "device-resident loop (debug fallback)")
     pren = sub.add_parser("render", help="host-only dataset pre-render")
     pren.add_argument("--language", default="en")
     pren.add_argument("--pregen", type=int, default=600)
@@ -540,7 +599,8 @@ def main():
         return
     if args.what == "rec":
         train_rec(args.language, args.steps, args.batch, args.lr, args.seed,
-                  args.variant, pregen=args.pregen, use_space=args.use_space)
+                  args.variant, pregen=args.pregen, use_space=args.use_space,
+                  device_data=not args.host_data)
     else:
         train_det(args.steps, args.batch, args.lr, args.seed, args.variant,
                   pregen=args.pregen)
