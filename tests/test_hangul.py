@@ -60,8 +60,9 @@ def test_synth_renderer_korean():
     cs = get_charset("korean")
     r = TextRenderer(cs, SynthConfig(words_only=True, fixed_stroke=2), seed=1)
     # the renderable alphabet must be dominated by composable syllables
+    # (the dict carries the KS X 1001 modern set — 2,350 syllables)
     n_syll = sum(1 for c in r.alphabet if is_syllable(c))
-    assert n_syll > 10000
+    assert n_syll == 2350
     img, label = r.render_line()
     assert img.shape == (48, 320, 3)
     assert img.max() > 200

@@ -26,6 +26,24 @@ def block(a, b):
     return out
 
 
+def hangul_ksx1001():
+    """The 2,350 modern syllables of KS X 1001 (the EUC-KR wansung rows).
+
+    The full composable block is 11,172 syllables, but real Korean text —
+    and the reference's korean_rec_fast head — lives almost entirely in the
+    KS X 1001 set; an 11k-way CTC softmax on a mobile CRNN converges far
+    too slowly for the rare tail to be worth the classes."""
+    out = []
+    for c in range(0xAC00, 0xD7A4):
+        try:
+            b = chr(c).encode("euc_kr")
+        except UnicodeEncodeError:
+            continue
+        if len(b) == 2 and 0xB0 <= b[0] <= 0xC8 and 0xA1 <= b[1] <= 0xFE:
+            out.append(chr(c))
+    return out
+
+
 FAMILIES = {
     # CJK Unified Ideographs + CJK punctuation
     "ch": ASCII + block(0x3000, 0x303F) + block(0x4E00, 0x9FA5),
@@ -33,8 +51,8 @@ FAMILIES = {
     # kana + CJK
     "japan": ASCII + block(0x3000, 0x303F) + block(0x3040, 0x309F)
     + block(0x30A0, 0x30FF) + block(0x4E00, 0x9FA5),
-    # hangul syllables + jamo
-    "korean": ASCII + block(0x3130, 0x318F) + block(0xAC00, 0xD7A3),
+    # hangul syllables (KS X 1001 modern set) + jamo
+    "korean": ASCII + block(0x3130, 0x318F) + hangul_ksx1001(),
     "latin": ASCII + block(0x00C0, 0x024F),
     "arabic": DIGITS + block(0x0600, 0x06FF) + block(0x0750, 0x077F),
     "cyrillic": ASCII + block(0x0400, 0x04FF),

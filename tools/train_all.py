@@ -39,9 +39,22 @@ def rec_ok(family: str) -> bool:
     spec = resolve(family, Mode.FAST)
     if not os.path.isdir(spec.rec_ckpt):
         return False
-    import eval_rec
+    # gate in a SUBPROCESS: keeping a live TPU client in this parent while
+    # the training child compiles has deadlocked the axon tunnel (r3)
+    import json
+    import subprocess
 
-    r = eval_rec.evaluate(family, n=128)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "eval_rec.py"),
+         "--language", family, "--n", "128"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    line = (out.stdout.strip().splitlines() or [""])[-1]
+    try:
+        r = json.loads(line)
+    except json.JSONDecodeError:
+        print(f"[gate] {family}: unparseable eval output: {line!r}")
+        return False
     print(f"[gate] {family}: {r}")
     return "error" not in r and r["cer"] <= CER_GATE
 

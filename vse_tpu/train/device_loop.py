@@ -148,9 +148,21 @@ def run_rec_device_loop(
     total = raw_imgs.shape[0]
     augment = make_rec_augment(h, w)
 
-    imgs_dev = jax.device_put(raw_imgs)
+    # slice the upload (~500 MB pieces): a multi-GB single put is fine on a
+    # local PCIe host but has stalled the remote-tunnel transport
+    import time as _time
+
+    t_up = _time.time()
+    piece = max(1, (512 << 20) // max(1, raw_imgs[0].nbytes))
+    parts = [jax.device_put(raw_imgs[k:k + piece])
+             for k in range(0, total, piece)]
+    imgs_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    imgs_dev.block_until_ready()
     labels_dev = jax.device_put(labels.astype(np.int32))
     lengths_dev = jax.device_put(lengths.astype(np.int32))
+    print(f"[device-loop] dataset resident: {raw_imgs.nbytes / 1e9:.2f} GB "
+          f"in {_time.time() - t_up:.1f}s; compiling first chunk...",
+          flush=True)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n_steps",))
     def chunk_fn(params, batch_stats, opt_state, rng, step0, n_steps):
