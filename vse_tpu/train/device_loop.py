@@ -113,9 +113,12 @@ def make_rec_augment(h: int, w: int) -> Callable:
         resampled = jnp.einsum("ik,bkwc->biwc", my, x)
         resampled = jnp.einsum("jw,bhwc->bhjc", mx, resampled)
         x = jnp.where(jax.random.uniform(ks[8], ()) < 0.5, resampled, x)
-        # crop-expansion geometry (p=.5): glyphs squeezed to 55-85% height
-        # with edge-replicated margins (matches rec_crop_expand_y crops)
-        gy = jax.random.uniform(ks[9], (), minval=0.55, maxval=0.85)
+        # crop-expansion geometry (p=.5): glyphs squeezed to 48-85% height
+        # with edge-replicated margins. The production crop path squeezes
+        # to 1/(1+2*rec_crop_expand_y) ~= 52% (core/config.py), so the
+        # range must reach BELOW that — a 55% floor left the deployed
+        # geometry at the edge of the training distribution (r3).
+        gy = jax.random.uniform(ks[9], (), minval=0.48, maxval=0.85)
         nh = jnp.maximum(12, (h * gy).astype(jnp.int32))
         y_off = jax.random.randint(ks[10], (), 0, h + 1)
         y_off = jnp.minimum(y_off, h - nh)  # uniform over [0, h-nh]
@@ -164,8 +167,14 @@ def run_rec_device_loop(
           f"in {_time.time() - t_up:.1f}s; compiling first chunk...",
           flush=True)
 
+    # the dataset arrays are EXPLICIT jit arguments, not closure captures:
+    # captured device arrays are lifted into the lowered program as
+    # constants, and the axon remote-compile endpoint then receives a
+    # multi-GB HLO (observed: 17 GB host RSS during lowering, then a
+    # broken-pipe on /remote_compile). Arguments are always parameters.
     @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n_steps",))
-    def chunk_fn(params, batch_stats, opt_state, rng, step0, n_steps):
+    def chunk_fn(params, batch_stats, opt_state, rng, step0,
+                 imgs, lbls, lens, n_steps):
         def body(carry, k):
             params, bs, opt, rng = carry
             i = step0 + k
@@ -174,11 +183,11 @@ def run_rec_device_loop(
             window = jnp.maximum(batch * 8, (total * frac).astype(jnp.int32))
             window = jnp.minimum(window, total)
             idx = jax.random.randint(r_idx, (batch,), 0, window)
-            x = imgs_dev[idx].astype(jnp.float32)
+            x = imgs[idx].astype(jnp.float32)
             x = augment(r_aug, x)
             x = (x / 255.0 - 0.5) / 0.5
             params, bs, opt, loss = step_core(
-                params, bs, opt, x, labels_dev[idx], lengths_dev[idx])
+                params, bs, opt, x, lbls[idx], lens[idx])
             return (params, bs, opt, rng), loss
 
         (params, batch_stats, opt_state, rng), losses = lax.scan(
@@ -193,7 +202,8 @@ def run_rec_device_loop(
                 checkpoint_every - (i % checkpoint_every) or checkpoint_every)
         rng, sub = jax.random.split(rng)
         params, batch_stats, opt_state, losses = chunk_fn(
-            params, batch_stats, opt_state, sub, jnp.float32(i), n_steps=int(n))
+            params, batch_stats, opt_state, sub, jnp.float32(i),
+            imgs_dev, labels_dev, lengths_dev, n_steps=int(n))
         i += n
         if log_cb is not None:
             log_cb(i, float(losses[-1]), params, batch_stats)
