@@ -97,6 +97,41 @@ def load_or_render_rec_dataset(language: str, pregen: int, batch: int,
     return raw_imgs, [str(t) for t in all_texts]
 
 
+def load_or_render_det_dataset(pregen: int, det_h: int = 256,
+                               det_w: int = 448, seed: int = 0):
+    """Disk-cached rendered det dataset (host-only, like the rec one):
+    frames + DB shrink/threshold label maps."""
+    charset = get_charset("en")
+    cfg = SynthConfig(det_h=det_h, det_w=det_w)
+    ds_path = f"/tmp/vse_det_ds_{pregen}_{det_h}x{det_w}.npz"
+    if os.path.exists(ds_path):
+        print(f"loading cached det dataset {ds_path}")
+        z = np.load(ds_path)
+        return {k: z[k] for k in z.files}
+    print(f"pre-rendering {pregen} det frames...", flush=True)
+    r = TextRenderer(charset, cfg, seed=seed)
+    frames, shr, shm, th, thm = [], [], [], [], []
+    t_g = time.time()
+    for _ in range(pregen):
+        img, boxes = r.render_frame()
+        lab = r.det_labels(boxes)
+        frames.append(img)
+        shr.append(lab["gt_shrink"])
+        shm.append(lab["gt_shrink_mask"])
+        th.append(lab["gt_thresh"])
+        thm.append(lab["gt_thresh_mask"])
+    ds = {
+        "images": np.stack(frames),
+        "gt_shrink": np.stack(shr).astype(np.float16),
+        "gt_shrink_mask": np.stack(shm).astype(np.float16),
+        "gt_thresh": np.stack(th).astype(np.float16),
+        "gt_thresh_mask": np.stack(thm).astype(np.float16),
+    }
+    np.savez_compressed(ds_path, **ds)
+    print(f"det dataset ready in {time.time()-t_g:.0f}s -> {ds_path}")
+    return ds
+
+
 def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
               variant: str = "mobile", log_every: int = 50,
               pregen: int = 0, use_space: bool = False,
@@ -460,33 +495,7 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
         }
 
     if pregen > 0:
-        ds_path = f"/tmp/vse_det_ds_{pregen}_{det_h}x{det_w}.npz"
-        if os.path.exists(ds_path):
-            print(f"loading cached det dataset {ds_path}")
-            z = np.load(ds_path)
-            ds = {k: z[k] for k in z.files}
-        else:
-            print(f"pre-rendering {pregen} det frames...")
-            r = TextRenderer(charset, cfg, seed=seed)
-            frames, shr, shm, th, thm = [], [], [], [], []
-            t_g = time.time()
-            for _ in range(pregen):
-                img, boxes = r.render_frame()
-                lab = r.det_labels(boxes)
-                frames.append(img)
-                shr.append(lab["gt_shrink"])
-                shm.append(lab["gt_shrink_mask"])
-                th.append(lab["gt_thresh"])
-                thm.append(lab["gt_thresh_mask"])
-            ds = {
-                "images": np.stack(frames),
-                "gt_shrink": np.stack(shr).astype(np.float16),
-                "gt_shrink_mask": np.stack(shm).astype(np.float16),
-                "gt_thresh": np.stack(th).astype(np.float16),
-                "gt_thresh_mask": np.stack(thm).astype(np.float16),
-            }
-            np.savez_compressed(ds_path, **ds)
-            print(f"det dataset ready in {time.time()-t_g:.0f}s -> {ds_path}")
+        ds = load_or_render_det_dataset(pregen, det_h, det_w, seed)
         aug_rng = np.random.default_rng(seed + 29)
         mean = np.array([0.485, 0.456, 0.406], np.float32)
         std = np.array([0.229, 0.224, 0.225], np.float32)
@@ -584,6 +593,8 @@ def main():
     pren.add_argument("--pregen", type=int, default=600)
     pren.add_argument("--batch", type=int, default=64)
     pren.add_argument("--seed", type=int, default=0)
+    pren.add_argument("--det", action="store_true",
+                      help="render the det dataset instead of rec crops")
     pd = sub.add_parser("det")
     pd.add_argument("--pregen", type=int, default=0,
                     help="pre-render N frames and sample from the cache")
@@ -594,8 +605,11 @@ def main():
     pd.add_argument("--variant", default="mobile", choices=["mobile", "server"])
     args = ap.parse_args()
     if args.what == "render":
-        load_or_render_rec_dataset(args.language, args.pregen, args.batch,
-                                   args.seed)
+        if args.det:
+            load_or_render_det_dataset(args.pregen, seed=args.seed)
+        else:
+            load_or_render_rec_dataset(args.language, args.pregen,
+                                       args.batch, args.seed)
         return
     if args.what == "rec":
         train_rec(args.language, args.steps, args.batch, args.lr, args.seed,
