@@ -67,3 +67,20 @@ def test_synth_renderer_korean():
     assert img.shape == (48, 320, 3)
     assert img.max() > 200
     assert cs.encode(label)
+
+
+def test_korean_dict_is_ksx1001():
+    """The shipped korean dict must carry exactly the KS X 1001 modern
+    syllable set (tools/gen_charsets.py::hangul_ksx1001) — the trained
+    head's class order depends on this file being stable."""
+    from vse_tpu.core.charset import get_charset
+
+    cs = get_charset("korean")
+    syll = [c for c in cs.chars if is_syllable(c)]
+    assert len(syll) == 2350
+    # every entry is EUC-KR row 0xB0-0xC8 (the wansung block)
+    for c in (syll[0], syll[1000], syll[-1]):
+        b = c.encode("euc_kr")
+        assert len(b) == 2 and 0xB0 <= b[0] <= 0xC8 and 0xA1 <= b[1] <= 0xFE
+    # total vocab: blank + ascii + jamo + syllables (+space if configured)
+    assert len(cs.chars) in (2538, 2539)
