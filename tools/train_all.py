@@ -59,6 +59,19 @@ def rec_ok(family: str) -> bool:
     return "error" not in r and r["cer"] <= CER_GATE
 
 
+def _ckpt_step(family: str, variant: str = "mobile") -> int:
+    import json
+
+    from vse_tpu.core.registry import rec_ckpt_path
+
+    meta = os.path.join(rec_ckpt_path(family, variant), "vse_meta.json")
+    try:
+        with open(meta) as f:
+            return int(json.load(f).get("step", 0))
+    except (OSError, ValueError):
+        return 0
+
+
 def run(cmd):
     print("+", " ".join(cmd), flush=True)
     subprocess.run(cmd, cwd=REPO, check=True)
@@ -78,8 +91,11 @@ def main():
         if rec_ok(fam):
             print(f"[skip] {fam}: checkpoint already clears CER {CER_GATE}")
             continue
+        # gate failed: if the checkpoint already reached the target step a
+        # resume would be a no-op — extend the run instead
+        steps = max(args.steps, _ckpt_step(fam) + 8000)
         run([py, "-m", "vse_tpu.train.pretrain", "rec", "--language", fam,
-             "--steps", str(args.steps), "--batch", "64",
+             "--steps", str(steps), "--batch", "64",
              "--pregen", str(args.pregen)])
     if not args.skip_server:
         run([py, "-m", "vse_tpu.train.pretrain", "det", "--variant", "server",
