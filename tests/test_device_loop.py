@@ -110,3 +110,48 @@ def test_device_loop_optimizes_linear_model(rng):
     losses = [l for _, l in events["logs"]]
     assert losses[-1] < losses[0] * 0.5
     assert np.isfinite(float(p["w"]))
+
+
+def test_det_device_loop_optimizes(rng):
+    """Det variant: dict-batch step_core with metrics; loss must drop and
+    the checkpoint/log cadence must hold (the host-fed det loop OOMed the
+    remote platform at ~60 MB of transfer buffers per step, r3)."""
+    import optax
+
+    from vse_tpu.train.device_loop import run_det_device_loop
+
+    N, H, W = 32, 16, 24
+    ds = {
+        "images": rng.integers(0, 255, size=(N, H, W, 3)).astype(np.uint8),
+        "gt_shrink": rng.random((N, H, W)).astype(np.float16),
+        "gt_shrink_mask": np.ones((N, H, W), np.float16),
+        "gt_thresh": rng.random((N, H, W)).astype(np.float16),
+        "gt_thresh_mask": np.ones((N, H, W), np.float16),
+    }
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.zeros(())}
+    opt_state = tx.init(params)
+
+    def step_core(params, bs, opt, batch):
+        def loss_fn(p):
+            pred = p["w"] * batch["det_images"].mean()
+            return (pred - batch["gt_shrink"].mean()) ** 2
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        metrics = {"shrink_bce": loss, "binary_dice": loss, "thresh_l1": loss}
+        return optax.apply_updates(params, updates), bs, opt, loss, metrics
+
+    events = {"logs": [], "ckpts": []}
+    p, bs, opt = run_det_device_loop(
+        ds=ds, params=params, batch_stats={}, opt_state=opt_state,
+        step_core=step_core, steps=30, start_step=0, batch=4, seed=0,
+        chunk=10, checkpoint_every=20,
+        checkpoint_cb=lambda s, *a: events["ckpts"].append(s),
+        log_cb=lambda s, loss, m, *a: events["logs"].append((s, loss, m)),
+    )
+    assert events["ckpts"] == [20, 30]
+    assert [s for s, _, _ in events["logs"]] == [10, 20, 30]
+    assert events["logs"][-1][1] < events["logs"][0][1]
+    assert set(events["logs"][0][2]) == {"shrink_bce", "binary_dice",
+                                         "thresh_l1"}

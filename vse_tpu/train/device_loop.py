@@ -210,3 +210,89 @@ def run_rec_device_loop(
         if checkpoint_cb is not None and (i % checkpoint_every == 0 or i >= steps):
             checkpoint_cb(i, params, batch_stats, opt_state)
     return params, batch_stats, opt_state
+
+
+def run_det_device_loop(
+    *,
+    ds: dict,                        # images [N,H,W,3] u8; gt_* [N,H,W] f16
+    params, batch_stats, opt_state,
+    step_core: Callable,             # (params, bs, opt, batch) -> (p, bs, opt, loss, metrics)
+    steps: int, start_step: int, batch: int, seed: int,
+    chunk: int = 100,
+    checkpoint_every: int = 500,
+    checkpoint_cb: Callable = None,
+    log_cb: Callable = None,
+):
+    """Device-resident det training (same design as run_rec_device_loop).
+
+    The host-fed det loop shipped ~60 MB of fresh buffers per step; on the
+    remote-tunnel platform those host-side transfer buffers are not
+    reclaimed, which OOM-killed a 3000-step run at ~130 GB RSS (r3). Here
+    the rendered dataset crosses host->device ONCE (uint8 images + f16
+    label maps, ~3 GB in HBM) and the photometric augmentation runs on
+    device inside a multi-step lax.scan chunk."""
+    import time as _time
+
+    t_up = _time.time()
+    n_total = ds["images"].shape[0]
+    piece = max(1, (512 << 20) // max(1, ds["images"][0].nbytes))
+    parts = [jax.device_put(ds["images"][k:k + piece])
+             for k in range(0, n_total, piece)]
+    imgs_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    imgs_dev.block_until_ready()
+    gts_dev = {
+        k: jax.device_put(ds[k].astype(np.float16))
+        for k in ("gt_shrink", "gt_shrink_mask", "gt_thresh", "gt_thresh_mask")
+    }
+    print(f"[det device-loop] dataset resident "
+          f"({sum(v.nbytes for v in ds.values()) / 1e9:.2f} GB) "
+          f"in {_time.time() - t_up:.1f}s; compiling first chunk...",
+          flush=True)
+
+    mean = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+
+    # dataset arrays as explicit jit ARGUMENTS (see run_rec_device_loop:
+    # closure-captured device arrays lower as constants and blow up the
+    # remote-compile request)
+    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n_steps",))
+    def chunk_fn(params, batch_stats, opt_state, rng, imgs, gts, n_steps):
+        def body(carry, _):
+            params, bs, opt, rng = carry
+            rng, r_idx, r_g, r_b, r_n = jax.random.split(rng, 5)
+            idx = jax.random.randint(r_idx, (batch,), 0, n_total)
+            x = imgs[idx].astype(jnp.float32)
+            gain = jax.random.uniform(r_g, (batch, 1, 1, 1),
+                                      minval=0.75, maxval=1.25)
+            bias = jax.random.uniform(r_b, (batch, 1, 1, 1),
+                                      minval=-25.0, maxval=25.0)
+            x = (x - 127.5) * gain + 127.5 + bias
+            x = x + 5.0 * jax.random.normal(r_n, x.shape)
+            x = jnp.clip(x, 0.0, 255.0)
+            hb = {"det_images": (x / 255.0 - mean) / std}
+            for k in gts:
+                hb[k] = gts[k][idx].astype(jnp.float32)
+            params, bs, opt, loss, metrics = step_core(params, bs, opt, hb)
+            return (params, bs, opt, rng), (loss, metrics)
+
+        (params, batch_stats, opt_state, rng), (losses, metrics) = lax.scan(
+            body, (params, batch_stats, opt_state, rng), None, length=n_steps)
+        return params, batch_stats, opt_state, losses, metrics
+
+    rng = jax.random.PRNGKey(seed + 417)
+    i = start_step
+    while i < steps:
+        n = min(chunk, steps - i,
+                checkpoint_every - (i % checkpoint_every) or checkpoint_every)
+        rng, sub = jax.random.split(rng)
+        params, batch_stats, opt_state, losses, metrics = chunk_fn(
+            params, batch_stats, opt_state, sub, imgs_dev, gts_dev,
+            n_steps=int(n))
+        i += n
+        if log_cb is not None:
+            log_cb(i, float(losses[-1]),
+                   {k: float(v[-1]) for k, v in metrics.items()},
+                   params, batch_stats)
+        if checkpoint_cb is not None and (i % checkpoint_every == 0 or i >= steps):
+            checkpoint_cb(i, params, batch_stats, opt_state)
+    return params, batch_stats, opt_state

@@ -496,27 +496,7 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
 
     if pregen > 0:
         ds = load_or_render_det_dataset(pregen, det_h, det_w, seed)
-        aug_rng = np.random.default_rng(seed + 29)
-        mean = np.array([0.485, 0.456, 0.406], np.float32)
-        std = np.array([0.229, 0.224, 0.225], np.float32)
-
-        def cache_batch(_wid=None):
-            idx = aug_rng.integers(0, len(ds["images"]), size=batch)
-            x = ds["images"][idx].astype(np.float32)
-            gain = aug_rng.uniform(0.75, 1.25, size=(batch, 1, 1, 1))
-            bias = aug_rng.uniform(-25, 25, size=(batch, 1, 1, 1))
-            x = np.clip((x - 127.5) * gain + 127.5 + bias
-                        + aug_rng.normal(0, 5, size=x.shape), 0, 255)
-            x = (x / 255.0 - mean) / std
-            return {
-                "det_images": x.astype(np.float32),
-                "gt_shrink": ds["gt_shrink"][idx].astype(np.float32),
-                "gt_shrink_mask": ds["gt_shrink_mask"][idx].astype(np.float32),
-                "gt_thresh": ds["gt_thresh"][idx].astype(np.float32),
-                "gt_thresh_mask": ds["gt_thresh_mask"][idx].astype(np.float32),
-            }
-
-        q, stop = _prefetch(cache_batch, depth=4, workers=1)
+        q = stop = None
     else:
         q, stop = _prefetch(make_batch)
     params = variables["params"]
@@ -548,24 +528,59 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
                     meta={"variant": variant, "step": step})
 
     t0 = time.time()
-    try:
-        for i in range(start_step, steps):
-            if i > 0 and i % 500 == 0:
-                det_checkpoint(i)
-            hb = {k: jnp.asarray(v) for k, v in q.get().items()}
-            params, mut, opt_state, loss, metrics = step_fn(
-                params, batch_stats, opt_state, hb
+    if q is None:
+        if start_step >= steps:
+            print(f"{path} already at step {start_step} >= {steps}; "
+                  "nothing to do")
+            return path
+        # Device-resident path (vse_tpu/train/device_loop.py): the host-fed
+        # loop shipped ~60 MB of transfer buffers per step, which the
+        # remote-tunnel platform never reclaimed (OOM at ~130 GB RSS, r3).
+        from vse_tpu.train.device_loop import run_det_device_loop
+
+        state = {"params": params, "bs": batch_stats, "opt": opt_state}
+
+        def dev_ckpt(step, p, bs, opt):
+            nonlocal params, batch_stats, opt_state
+            params, batch_stats, opt_state = p, bs, opt
+            det_checkpoint(step)
+            print(f"[det] checkpoint @ {step}", flush=True)
+
+        def dev_log(step, loss, metrics, p, bs):
+            print(
+                f"[det] step {step} loss {loss:.4f} "
+                f"bce {metrics['shrink_bce']:.4f} "
+                f"dice {metrics['binary_dice']:.4f} "
+                f"l1 {metrics['thresh_l1']:.4f} ({time.time()-t0:.0f}s)",
+                flush=True,
             )
-            batch_stats = mut
-            if i % log_every == 0 or i == steps - 1:
-                print(
-                    f"[det] step {i} loss {float(loss):.4f} "
-                    f"bce {float(metrics['shrink_bce']):.4f} "
-                    f"dice {float(metrics['binary_dice']):.4f} "
-                    f"l1 {float(metrics['thresh_l1']):.4f} ({time.time()-t0:.0f}s)"
+
+        params, batch_stats, opt_state = run_det_device_loop(
+            ds=ds, params=state["params"], batch_stats=state["bs"],
+            opt_state=state["opt"], step_core=step_fn, steps=steps,
+            start_step=start_step, batch=batch, seed=seed,
+            checkpoint_cb=dev_ckpt, log_cb=dev_log,
+        )
+    else:
+        try:
+            for i in range(start_step, steps):
+                if i > 0 and i % 500 == 0:
+                    det_checkpoint(i)
+                hb = {k: jnp.asarray(v) for k, v in q.get().items()}
+                params, mut, opt_state, loss, metrics = step_fn(
+                    params, batch_stats, opt_state, hb
                 )
-    finally:
-        stop.set()
+                batch_stats = mut
+                if i % log_every == 0 or i == steps - 1:
+                    print(
+                        f"[det] step {i} loss {float(loss):.4f} "
+                        f"bce {float(metrics['shrink_bce']):.4f} "
+                        f"dice {float(metrics['binary_dice']):.4f} "
+                        f"l1 {float(metrics['thresh_l1']):.4f} "
+                        f"({time.time()-t0:.0f}s)"
+                    )
+        finally:
+            stop.set()
     det_checkpoint(steps)
     print(f"saved {path}")
     return path
