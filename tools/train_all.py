@@ -103,6 +103,13 @@ def main():
         run([py, "-m", "vse_tpu.train.pretrain", "rec", "--language", "en",
              "--variant", "server", "--steps", str(args.steps),
              "--batch", "64", "--pregen", str(args.pregen)])
+    # final re-gate: exit non-zero while any family is still above the CER
+    # bar, so a retrying caller keeps extending (+8000 steps per pass)
+    failing = [fam for fam in args.families if not rec_ok(fam)]
+    if failing:
+        print(f"[regate] still failing CER {CER_GATE}: {failing}")
+        sys.exit(1)
+    print("[regate] all families clear")
 
 
 if __name__ == "__main__":
