@@ -227,30 +227,13 @@ class SubtitleExtractor:
 
     # --- OCR gating ---------------------------------------------------------
 
-    def _gate_and_record(
-        self, frame_no: int, dt_box: list, rec_res: list, frame=None,
-        ab_checked: bool = False,
-    ) -> None:
-        """Apply the reference's area/score gate and append raw records
-        (reference backend/tools/subtitle_ocr.py:20-85).
-
-        `ab_checked=True`: caller already applied the AB-section frame-range
-        gate on the REAL frame number — keyframe mode records under the
-        reference's quirky timeline key int(ms/fps) (ms_to_frameno), which is
-        NOT commensurate with AB-section frame bounds."""
+    def _gate_lines(self, dt_box: list, rec_res: list) -> list:
+        """The reference's area/score gate (backend/tools/subtitle_ocr.py:
+        20-85) as a pure filter: [(xyxy box, text, prob)] for the lines that
+        survive. Shared by record-keeping and keyframe span refinement."""
         drop_score = self.config.drop_score / 100.0
         dev_rate = self.config.subtitle_area_deviation_rate
-        kept_before = len(self.raw_records)
-        # AB-section: the area only applies inside its bound frame range
-        # (reference ui/component/video_display_component.py:894-916 binds
-        # selections to frame ranges; extractor applies them per task)
-        if (
-            not ab_checked
-            and self.sub_area is not None
-            and self.sub_area.ab_section is not None
-            and not self.sub_area.ab_section.contains(frame_no)
-        ):
-            return
+        kept = []
         for quad, (text, prob) in zip(dt_box, rec_res):
             xmin = max(quad[0][0], quad[3][0])
             xmax = min(quad[1][0], quad[2][0])
@@ -262,9 +245,35 @@ class SubtitleExtractor:
                 overflow = self.sub_area.overflow_area_rate(xmin, xmax, ymin, ymax)
                 if overflow > dev_rate or prob <= drop_score:
                     continue
-            self.raw_records.append(
-                RawRecord(frame_no, (int(xmin), int(xmax), int(ymin), int(ymax)), text)
+            kept.append(
+                ((int(xmin), int(xmax), int(ymin), int(ymax)), text, prob)
             )
+        return kept
+
+    def _gate_and_record(
+        self, frame_no: int, dt_box: list, rec_res: list, frame=None,
+        ab_checked: bool = False,
+    ) -> None:
+        """Apply the reference's area/score gate and append raw records
+        (reference backend/tools/subtitle_ocr.py:20-85).
+
+        `ab_checked=True`: caller already applied the AB-section frame-range
+        gate on the REAL frame number — keyframe mode records under the
+        reference's quirky timeline key int(ms/fps) (ms_to_frameno), which is
+        NOT commensurate with AB-section frame bounds."""
+        kept_before = len(self.raw_records)
+        # AB-section: the area only applies inside its bound frame range
+        # (reference ui/component/video_display_component.py:894-916 binds
+        # selections to frame ranges; extractor applies them per task)
+        if (
+            not ab_checked
+            and self.sub_area is not None
+            and self.sub_area.ab_section is not None
+            and not self.sub_area.ab_section.contains(frame_no)
+        ):
+            return
+        for box, text, _prob in self._gate_lines(dt_box, rec_res):
+            self.raw_records.append(RawRecord(frame_no, box, text))
         if self.config.debug_ocr_loss and frame is not None:
             self._maybe_dump_ocr_loss(
                 frame, frame_no, self.raw_records[kept_before:]
@@ -482,43 +491,150 @@ class SubtitleExtractor:
         self.use_keyframe_timeline = True
         return spans
 
-    def keyframe_rep_targets(self, spans) -> Tuple[List[int], List[int]]:
-        """Pass-2 targets: (decoder frame indices, timeline record keys),
-        AB-section-gated on the REAL span frame numbers. Record keys use the
-        reference's incommensurate timeline unit int(ms/fps)."""
+    def keyframe_sample_targets(self, spans) -> Tuple[List[int], List[Tuple[int, int]]]:
+        """Pass-2 targets: within-span samples at `extract_frequency`
+        frames/sec (reference backend/config.py:64), AB-section-gated on the
+        REAL span frame numbers. Returns (decoder frame indices, per-sample
+        (span_idx, frame_no)).
+
+        One frame per span is not enough: the scanner's visual statistic can
+        merge consecutive cues into one span (per-frame-noise backgrounds
+        saturate both the text-cell vote and the adaptive temporal-diff
+        baseline — measured F1 0.0 on an 11-cue noise video), and a span-head
+        frame sampled mid-fade-in OCRs at low confidence. Sampling inside the
+        span lets `refine_keyframe_spans` recover cue boundaries from the
+        TEXT signal — the same rescue the reference gets from OCRing every
+        VSF keyframe image and deduping by text similarity
+        (backend/main.py:774-818)."""
         area = self.sub_area
+        stride = max(1, int(self.fps // self.config.extract_frequency))
         wanted: List[int] = []
-        keys: List[int] = []
-        for sp in spans:
+        metas: List[Tuple[int, int]] = []
+        for si, sp in enumerate(spans):
             if (
                 area is not None
                 and area.ab_section is not None
                 and not area.ab_section.contains(sp.start_frame)
             ):
                 continue
-            wanted.append(sp.start_frame - 1)
-            # keyframe-timeline key convention: int(start_ms / fps); use the
-            # same int(ms) the timeline cue stores so both sides agree
-            keys.append(self.ms_to_frameno(int(self.frame_to_ms(sp.start_frame))))
-        return wanted, keys
+            for fn in range(sp.start_frame, sp.end_frame + 1, stride):
+                wanted.append(fn - 1)
+                metas.append((si, fn))
+        return wanted, metas
+
+    def refine_keyframe_spans(self, spans, samples) -> None:
+        """Split scanner spans where the OCR text changes and record one
+        representative per refined span.
+
+        `samples`: [(span_idx, frame_no, dt_box, rec_res)] in frame order per
+        span. Consecutive samples whose gated text stays within
+        `threshold_text_similarity` (the dedup similarity, reference
+        backend/main.py:774-818) share a refined span; the representative is
+        the highest-confidence sample (fixes fade-in span heads). Rebuilds
+        `self.timeline` so the SRT keyframe-timeline merge sees the refined
+        cue boundaries; textless groups keep their timeline cue (the
+        reference's empty-cue retention, backend/main.py:661-666) but record
+        nothing."""
+        from collections import defaultdict
+
+        from vse_tpu.ops.levenshtein import ratio
+
+        thr = self.config.threshold_text_similarity / 100.0
+        by_span = defaultdict(list)
+        for si, fn, dt_box, rec_res in samples:
+            kept = self._gate_lines(dt_box, rec_res)
+            text = "".join(t.replace(" ", "") for _, t, _ in kept)
+            conf = float(np.mean([p for _, _, p in kept])) if kept else 0.0
+            by_span[si].append((fn, text, conf, dt_box, rec_res))
+        self.timeline = SrtFile()
+        for si, sp in enumerate(spans):
+            ss = by_span.get(si)
+            if not ss:
+                continue
+            groups = [[ss[0]]]
+            for s in ss[1:]:
+                head = groups[-1][0]
+                presence_flip = (s[1] == "") != (head[1] == "")
+                if presence_flip or (s[1] and ratio(head[1], s[1]) < thr):
+                    groups.append([s])
+                else:
+                    groups[-1].append(s)
+            # merge-back pass: a mid-fade sample reads garbled (dropped or
+            # swapped glyphs), splitting one true cue into garble/clean/
+            # garble groups whose pairwise similarity falls below the dedup
+            # threshold but far above chance. Within ONE scanner span a real
+            # cue change almost never lands on a half-similar sentence, so
+            # adjacent groups whose best reads agree at >= 0.5 are the same
+            # cue — merge, keeping the cleaner representative.
+            def _best(g):
+                return max(g, key=lambda s: s[2])
+
+            merged = [groups[0]]
+            for g in groups[1:]:
+                a, b = _best(merged[-1])[1], _best(g)[1]
+                if a and b and ratio(a, b) >= 0.5:
+                    merged[-1].extend(g)
+                else:
+                    merged.append(g)
+            groups = merged
+            for gi, g in enumerate(groups):
+                # the scanner's frame-exact edges beat the stride-quantized
+                # sample positions at the raw span boundaries
+                start_f = sp.start_frame if gi == 0 else g[0][0]
+                end_f = (
+                    groups[gi + 1][0][0] - 1
+                    if gi + 1 < len(groups)
+                    else sp.end_frame
+                )
+                start_ms = int(self.frame_to_ms(start_f))
+                self.timeline.append(
+                    SrtItem(
+                        len(self.timeline) + 1,
+                        start_ms,
+                        int(self.frame_to_ms(end_f)),
+                        "",
+                    )
+                )
+                if not g[0][1]:
+                    continue
+                # representative = the group's MEDOID read (max summed
+                # similarity to the group's other reads), confidence as the
+                # tiebreak. Mean CTC confidence alone is not robust here: a
+                # mid-fade garble with confidently-wrong glyphs can outscore
+                # the clean read, but clean reads repeat across samples while
+                # garbles differ from each other, so the medoid lands on the
+                # repeated clean text.
+                best = max(
+                    g,
+                    key=lambda s: (
+                        sum(ratio(s[1], t[1]) for t in g),
+                        s[2],
+                    ),
+                )
+                self._gate_and_record(
+                    self.ms_to_frameno(start_ms), best[3], best[4],
+                    ab_checked=True,  # gated on the real span frame above
+                )
+        self.use_keyframe_timeline = True
 
     def extract_frame_by_keyframe(self) -> None:
-        """Keyframe scanner path: pass 1 scans, pass 2 OCRs one representative
-        frame per span — all spans decoded in ONE sequential pass
-        (read_frames) instead of per-span container seeks."""
+        """Keyframe scanner path: pass 1 scans, pass 2 OCRs within-span
+        samples and refines span boundaries by text change — all samples
+        decoded in ONE sequential pass (read_frames) instead of per-span
+        container seeks."""
         spans = self.scan_keyframe_spans()
         from vse_tpu.video.decode import read_frames
 
-        wanted, keys = self.keyframe_rep_targets(spans)
+        wanted, metas = self.keyframe_sample_targets(spans)
         decoded = read_frames(self.video_path, wanted)
-        rep_frames = [f for f in decoded if f is not None]
-        keys = [k for k, f in zip(keys, decoded) if f is not None]
+        pairs = [(m, f) for m, f in zip(metas, decoded) if f is not None]
         B = self.config.frame_batch
         band = self.upload_band()
-        for i in range(0, len(rep_frames), B):
+        samples = []
+        for i in range(0, len(pairs), B):
             if self.cancel.is_set():
                 raise ExtractionCancelled(self.video_path)
-            chunk = np.stack(rep_frames[i : i + B])
+            chunk = np.stack([f for _, f in pairs[i : i + B]])
             if band is not None:
                 y0, y1 = band
                 results = self.engine.predict_batch(
@@ -526,12 +642,10 @@ class SubtitleExtractor:
                 )
             else:
                 results = self.engine.predict_batch(chunk)
-            for j, (dt_box, rec_res) in enumerate(results):
-                self._gate_and_record(
-                    keys[i + j], dt_box, rec_res, frame=chunk[j],
-                    ab_checked=True,  # gated on the real span frame above
-                )
-            self.update_progress(ocr=min(100.0, (i + B) / max(1, len(rep_frames)) * 100))
+            for (m, _f), (dt_box, rec_res) in zip(pairs[i : i + B], results):
+                samples.append((m[0], m[1], dt_box, rec_res))
+            self.update_progress(ocr=min(100.0, (i + B) / max(1, len(pairs)) * 100))
+        self.refine_keyframe_spans(spans, samples)
 
     def extract_frame_by_det(self) -> None:
         """Accurate mode: DB detection on every frame; subtitle spans found by

@@ -233,32 +233,40 @@ def _many_keyframe(extractors, engine: OcrEngine, config: VseConfig) -> None:
     # pass 1 per video (cheap stats kernel); pass 2 pooled across videos,
     # band-cropped per extractor (boxes shifted back by the per-item band
     # offset — items with different bands can still share a compiled bucket
-    # as long as the cropped shapes match)
-    todo = []  # (extractor, full frame, band-cropped frame, dy, record_key)
-    for ex in extractors:
+    # as long as the cropped shapes match); pass 3 per video: span
+    # refinement by text change (extractor.refine_keyframe_spans)
+    todo = []  # (ex_idx, band-cropped frame, dy, span_idx, frame_no)
+    spans_by_ex: Dict[int, list] = {}
+    for xi, ex in enumerate(extractors):
         spans = ex.scan_keyframe_spans()
-        wanted, keys = ex.keyframe_rep_targets(spans)
+        spans_by_ex[xi] = spans
+        wanted, metas = ex.keyframe_sample_targets(spans)
         decoded = read_frames(ex.video_path, wanted)
         band = ex.upload_band()
         y0 = band[0] if band is not None else 0
-        for f, key in zip(decoded, keys):
+        for f, (si, fn) in zip(decoded, metas):
             if f is not None:
                 fc = f if band is None else f[band[0]:band[1]]
-                todo.append((ex, f, fc, y0, key))
+                todo.append((xi, fc, y0, si, fn))
     # group by cropped geometry so shapes share compiled buckets
     by_shape: Dict[Tuple[int, int], List[int]] = defaultdict(list)
-    for idx, (_, _, fc, _, _) in enumerate(todo):
+    for idx, (_, fc, _, _, _) in enumerate(todo):
         by_shape[fc.shape[:2]].append(idx)
     B = config.frame_batch
+    samples_by_ex: Dict[int, list] = defaultdict(list)
     for idxs in by_shape.values():
         for i in range(0, len(idxs), B):
             chunk_ids = idxs[i : i + B]
-            chunk = np.stack([todo[j][2] for j in chunk_ids])
+            chunk = np.stack([todo[j][1] for j in chunk_ids])
             results = engine.predict_batch(chunk)
             for j, (dt_box, rec_res) in zip(chunk_ids, results):
-                ex, frame, _fc, dy, key = todo[j]
-                ex._gate_and_record(key, _shift_quads(dt_box, dy), rec_res,
-                                    frame=frame, ab_checked=True)
+                xi, _fc, dy, si, fn = todo[j]
+                samples_by_ex[xi].append(
+                    (si, fn, _shift_quads(dt_box, dy), rec_res)
+                )
+    for xi, ex in enumerate(extractors):
+        samples = sorted(samples_by_ex.get(xi, []), key=lambda s: (s[0], s[1]))
+        ex.refine_keyframe_spans(spans_by_ex[xi], samples)
 
 
 def extract_many_fps(
