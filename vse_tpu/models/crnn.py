@@ -24,16 +24,23 @@ from vse_tpu.models.mobilenet_v3 import MobileNetV3Rec
 
 
 class BiLSTM(nn.Module):
-    """Bidirectional LSTM layer over [B, T, C]."""
+    """Bidirectional LSTM layer over [B, T, C].
+
+    `unroll=16`: the recurrence lowers to a while loop whose per-step body is
+    a small matmul; at T=80 the loop overhead dominates (the 4 scans of the
+    2-layer neck measured ~29 ms of the fused OCR program on 1024 crops).
+    Unrolling packs 16 steps per loop iteration — same math, same params."""
 
     hidden: int
     dtype: Any = jnp.bfloat16
+    unroll: int = 16
 
     @nn.compact
     def __call__(self, x):
         fwd = nn.RNN(
             nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype,
                                  param_dtype=jnp.float32),
+            unroll=self.unroll,
             name="fwd",
         )
         bwd = nn.RNN(
@@ -41,6 +48,7 @@ class BiLSTM(nn.Module):
                                  param_dtype=jnp.float32),
             reverse=True,
             keep_order=True,
+            unroll=self.unroll,
             name="bwd",
         )
         return jnp.concatenate([fwd(x), bwd(x)], axis=-1)

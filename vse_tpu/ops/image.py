@@ -299,8 +299,16 @@ def crop_axis_aligned_matmul(
     sampling is separable, so each axis's interpolation is a dense matmul
     with a tent-weight matrix (Wy [out_h, H], Wx [out_w, W]) —
     out = Wy @ image @ Wx^T. On TPU this beats 4-point gathers by ~30x
-    (measured 103ms -> ~3ms for 64 crops from 1080p frames)."""
+    (measured 103ms -> ~3ms for 64 crops from 1080p frames).
+
+    Both matmuls run CHANNEL-BATCHED ([C, h, W] x [w, W] dot_general): with
+    channels as the trailing (lane) dim the x-interpolation einsum padded
+    C=3 to the 128-lane MXU tile, ~42x waste — measured 27.6 -> 14.2 ms for
+    1024 crops from 1080p frames. uint8 images additionally compute in bf16
+    (u8 values are exact in bf16; the lerp rounds within ~0.5 gray level);
+    float images keep f32 math (parity/verification callers)."""
     H, W = image.shape[0], image.shape[1]
+    cdt = jnp.bfloat16 if image.dtype == jnp.uint8 else jnp.float32
     xmin, ymin, xmax, ymax = box_xyxy[0], box_xyxy[1], box_xyxy[2], box_xyxy[3]
     bw = jnp.maximum(xmax - xmin, 1.0)
     bh = jnp.maximum(ymax - ymin, 1.0)
@@ -316,12 +324,12 @@ def crop_axis_aligned_matmul(
     # zero-pad beyond the (aspect-preserved) target width
     pad_mask = (jnp.arange(out_w, dtype=jnp.float32) < target_w)[:, None]
     wx = wx * pad_mask
-    flat = image.reshape(H, -1)  # [H, W*C]
-    mid = jnp.dot(wy, flat, preferred_element_type=jnp.float32)  # [out_h, W*C]
-    mid = mid.reshape(out_h, W, -1)
-    out = jnp.einsum("hWc,wW->hwc", mid, wx,
+    img_cb = image.astype(cdt).transpose(2, 0, 1)  # [C, H, W]
+    mid = jnp.einsum("hk,ckW->chW", wy.astype(cdt), img_cb,
+                     preferred_element_type=cdt)
+    out = jnp.einsum("chW,wW->chw", mid, wx.astype(cdt),
                      preferred_element_type=jnp.float32)
-    return out
+    return out.transpose(1, 2, 0)
 
 
 def crop_axis_aligned_matmul_windowed(
