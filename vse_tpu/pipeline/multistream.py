@@ -262,7 +262,7 @@ def _many_keyframe(extractors, engine: OcrEngine, config: VseConfig) -> None:
             for j, (dt_box, rec_res) in zip(chunk_ids, results):
                 xi, _fc, dy, si, fn = todo[j]
                 samples_by_ex[xi].append(
-                    (si, fn, _shift_quads(dt_box, dy), rec_res)
+                    (si, fn, _shift_quads(dt_box, dy), rec_res, None)
                 )
     for xi, ex in enumerate(extractors):
         samples = sorted(samples_by_ex.get(xi, []), key=lambda s: (s[0], s[1]))
