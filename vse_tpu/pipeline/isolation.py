@@ -178,9 +178,18 @@ class ProcessRunner:
             if cmd is Command.PID:
                 self.child_pid = payload
             elif cmd is Command.PROGRESS and self.on_progress:
-                self.on_progress(*payload)
+                # callbacks are user code: an exception must not kill the
+                # pump before FINISH/ERROR arrives (a successful extraction
+                # would then be misreported as a silent child exit)
+                try:
+                    self.on_progress(*payload)
+                except Exception:
+                    pass
             elif cmd is Command.LOG and self.on_log:
-                self.on_log(payload)
+                try:
+                    self.on_log(payload)
+                except Exception:
+                    pass
             elif cmd is Command.FINISH:
                 self.srt_path = payload
                 break

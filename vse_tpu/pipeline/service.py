@@ -193,6 +193,9 @@ class ExtractionService:
             on_log=lambda msg, task=task: self._emit_log(task, msg),
         )
         self._current_runner = runner
+        # same exception contract as the in-thread path: a spawn failure or
+        # a raising user callback must mark THIS task FAILED and let the
+        # worker keep draining, not kill the worker thread
         try:
             runner.start()
             while not runner.join(timeout=0.5):
@@ -207,5 +210,13 @@ class ExtractionService:
                 task.error = runner.error or "unknown child failure"
                 if self.callbacks.on_error:
                     self.callbacks.on_error(task, task.error)
+        except Exception as e:
+            task.status = TaskStatus.FAILED
+            task.error = f"{e}\n{traceback.format_exc()}"
+            if self.callbacks.on_error:
+                try:
+                    self.callbacks.on_error(task, str(e))
+                except Exception:
+                    pass
         finally:
             self._current_runner = None
