@@ -9,7 +9,17 @@ with known scripts burned in, run through the REAL
 (vse_tpu/eval.py) against the known script. Results land in EVAL.json at
 the repo root for the judge.
 
+Resilience (VERDICT r3 weak #4): the DRIVER process never touches JAX; each
+stage (one mode over the corpus, or one language variant) runs in its own
+subprocess with a wall-clock bound and retries, writing
+``<workdir>/stage_<name>.json``. A wedged axon tunnel or a compile crash
+loses ONE stage attempt, not the run, and a re-run resumes from the stage
+files already on disk (same pattern as tools/train_all.py's subprocess
+gates + checkpoint resume).
+
   python tools/eval_golden.py [--modes fast auto accurate] [--out EVAL.json]
+  python tools/eval_golden.py --lang-variants ru el ka ar korean
+  python tools/eval_golden.py --fresh          # ignore cached stage files
 """
 
 from __future__ import annotations
@@ -17,9 +27,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
+
+import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -28,6 +41,10 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vse_jax_cache")
 
 from eval_synth import GOLDEN_CORPUS, build_corpus  # noqa: E402
+
+DEFAULT_WORKDIR = "/tmp/vse_golden_work"
+STAGE_TIMEOUT_S = 2400
+STAGE_RETRIES = 2
 
 
 def run_mode_on_video(mode: str, language: str, video: str, ref_srt: str,
@@ -91,7 +108,110 @@ def cross_validate(fast_srt: str, accurate_srt: str):
     }
 
 
-import numpy as np  # noqa: E402
+# --- stage bodies (run inside the isolated subprocess) -----------------------
+
+
+def stage_mode(mode: str, language: str, corpus, workdir: str) -> dict:
+    from vse_tpu.eval import micro_average
+
+    engines: dict = {}
+    results, per_video, wall_total = [], [], 0.0
+    for name, video, ref_srt, _cues, area_ratios in corpus:
+        r, wall, _ex = run_mode_on_video(
+            mode, language, video, ref_srt, area_ratios, workdir, engines
+        )
+        wall_total += wall
+        results.append(r)
+        per_video.append({"video": name, **r.as_dict()})
+        print(f"  {name}: f1={r.f1:.3f} cer={r.cer:.3f}", flush=True)
+    agg = micro_average(results)
+    return {
+        "mode": mode,
+        "det_loaded": engines[mode].det_loaded,
+        "rec_loaded": engines[mode].rec_loaded,
+        "wall_seconds": round(wall_total, 1),
+        **agg.as_dict(),
+        "per_video": per_video,
+    }
+
+
+def stage_lang(lang: str, workdir: str) -> dict:
+    """Per-language fast-mode variant: the language's own trained head on
+    its own corpus video."""
+    from eval_synth import LANGUAGE_CORPUS
+
+    spec = LANGUAGE_CORPUS[lang]
+    name, video, ref_srt, cues, area_ratios = build_corpus(workdir, [spec])[0]
+    engines: dict = {}
+    r, wall, ex = run_mode_on_video(
+        "fast", lang, video, ref_srt, area_ratios, workdir, engines
+    )
+    return {
+        "language": lang,
+        "rec_loaded": ex.engine.rec_loaded,
+        "wall_seconds": round(wall, 1),
+        **r.as_dict(),
+    }
+
+
+def run_stage(stage: str, args) -> dict:
+    workdir = args.workdir
+    if stage.startswith("mode_"):
+        specs = GOLDEN_CORPUS
+        if args.videos:
+            specs = [s for s in GOLDEN_CORPUS if s["name"] in args.videos]
+        corpus = build_corpus(workdir, specs)
+        return stage_mode(stage[len("mode_"):], args.language, corpus, workdir)
+    if stage.startswith("lang_"):
+        return stage_lang(stage[len("lang_"):], workdir)
+    raise SystemExit(f"unknown stage {stage!r}")
+
+
+# --- driver (never initializes JAX) ------------------------------------------
+
+
+def _stage_path(workdir: str, stage: str) -> str:
+    return os.path.join(workdir, f"stage_{stage}.json")
+
+
+def _load_stage(workdir: str, stage: str):
+    try:
+        with open(_stage_path(workdir, stage), encoding="utf-8") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def drive_stage(stage: str, args, notes: list):
+    """Run one stage in a bounded, retried subprocess; resume from its stage
+    file when one is already on disk."""
+    cached = _load_stage(args.workdir, stage)
+    if cached is not None and not args.fresh:
+        print(f"[resume] {stage}: using cached stage file", flush=True)
+        return cached
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
+           "--workdir", args.workdir, "--language", args.language]
+    for v in args.videos or []:
+        cmd += ["--videos", v]
+    for attempt in range(1 + STAGE_RETRIES):
+        print(f"== {stage} (attempt {attempt + 1}) ==", flush=True)
+        try:
+            proc = subprocess.run(cmd, cwd=REPO, timeout=STAGE_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            notes.append(f"{stage}: attempt {attempt + 1} timed out after "
+                         f"{STAGE_TIMEOUT_S}s")
+            continue
+        if proc.returncode == 0:
+            out = _load_stage(args.workdir, stage)
+            if out is not None:
+                return out
+            notes.append(f"{stage}: attempt {attempt + 1} exited 0 without a "
+                         "stage file")
+        else:
+            notes.append(f"{stage}: attempt {attempt + 1} exited "
+                         f"{proc.returncode}")
+    notes.append(f"{stage}: FAILED after {1 + STAGE_RETRIES} attempts")
+    return None
 
 
 def main():
@@ -100,74 +220,64 @@ def main():
     ap.add_argument("--language", default="en")
     ap.add_argument("--out", default=os.path.join(REPO, "EVAL.json"))
     ap.add_argument("--workdir", default=None)
-    ap.add_argument("--videos", nargs="*", default=None,
+    ap.add_argument("--videos", action="append", default=None,
                     help="subset of corpus names")
     ap.add_argument("--lang-variants", nargs="*", default=[],
                     dest="lang_variants",
                     help="per-language fast-mode variants (ru el ka ar "
                          "korean); only languages with trained heads make "
                          "sense")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore cached stage files (re-run every stage)")
+    ap.add_argument("--stage", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+    args.workdir = args.workdir or DEFAULT_WORKDIR
+    os.makedirs(args.workdir, exist_ok=True)
 
-    workdir = args.workdir or tempfile.mkdtemp(prefix="vse_golden_")
-    os.makedirs(workdir, exist_ok=True)
+    if args.stage:
+        # child: run the single stage in-proc and write its stage file
+        # atomically (the driver treats a partial file as a failed attempt)
+        row = run_stage(args.stage, args)
+        fd, tmp = tempfile.mkstemp(dir=args.workdir, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(row, f, indent=1)
+        os.replace(tmp, _stage_path(args.workdir, args.stage))
+        print(json.dumps({k: v for k, v in row.items() if k != "per_video"}),
+              flush=True)
+        return
+
     specs = GOLDEN_CORPUS
     if args.videos:
         specs = [s for s in GOLDEN_CORPUS if s["name"] in args.videos]
-    corpus = build_corpus(workdir, specs)
-
-    import jax
-
-    from vse_tpu.eval import micro_average
-
+    notes: list = []
     report = {
-        "corpus": [
-            {"name": n, "cues": c} for n, _, _, c, _ in corpus
-        ],
-        "script_lines": sum(c for _, _, _, c, _ in corpus),
-        "backend": jax.default_backend(),
+        "written_by": "tools/eval_golden.py",
+        "corpus": [{"name": s["name"], "cues": len(s["script"])}
+                   for s in specs],
+        "script_lines": sum(len(s["script"]) for s in specs),
         "modes": [],
+        "notes": notes,
     }
-    engines: dict = {}
     per_mode_results: dict = {}
     for mode in args.modes:
-        print(f"== {mode} ==", flush=True)
-        results, per_video, wall_total = [], [], 0.0
-        for name, video, ref_srt, _cues, area_ratios in corpus:
-            r, wall, ex = run_mode_on_video(
-                mode, args.language, video, ref_srt, area_ratios, workdir,
-                engines
-            )
-            wall_total += wall
-            results.append(r)
-            per_video.append({"video": name, **r.as_dict()})
-            print(f"  {name}: f1={r.f1:.3f} cer={r.cer:.3f}", flush=True)
-        agg = micro_average(results)
-        row = {
-            "mode": mode,
-            "det_loaded": engines[mode].det_loaded,
-            "rec_loaded": engines[mode].rec_loaded,
-            "wall_seconds": round(wall_total, 1),
-            **agg.as_dict(),
-            "per_video": per_video,
-        }
-        print(json.dumps({k: v for k, v in row.items() if k != "per_video"}),
-              flush=True)
-        report["modes"].append(row)
-        per_mode_results[mode] = row
+        row = drive_stage(f"mode_{mode}", args, notes)
+        if row is not None:
+            report["modes"].append(row)
+            per_mode_results[mode] = row
 
-    # scanner-vs-accurate cross-validation on the corpus outputs
+    # scanner-vs-accurate cross-validation on the corpus outputs (host-only:
+    # reads the SRT files the mode stages left in the shared workdir)
     if "fast" in per_mode_results and "accurate" in per_mode_results:
         xv = []
-        for name, video, _ref, _c, _a in corpus:
-            vn = os.path.splitext(os.path.basename(video))[0]
-            xv.append({
-                "video": name,
-                **cross_validate(
-                    os.path.join(workdir, f"out_fast_{vn}.srt"),
-                    os.path.join(workdir, f"out_accurate_{vn}.srt"),
-                ),
-            })
+        for s in specs:
+            fast_srt = os.path.join(args.workdir, f"out_fast_{s['name']}.srt")
+            acc_srt = os.path.join(args.workdir,
+                                   f"out_accurate_{s['name']}.srt")
+            if not (os.path.exists(fast_srt) and os.path.exists(acc_srt)):
+                notes.append(f"cross-validate: missing SRTs for {s['name']}")
+                continue
+            xv.append({"video": s["name"],
+                       **cross_validate(fast_srt, acc_srt)})
         total_acc = sum(v["accurate_cues"] for v in xv)
         total_cov = sum(v["covered_by_scanner"] for v in xv)
         report["keyframe_vs_accurate"] = {
@@ -177,34 +287,19 @@ def main():
         print(json.dumps({"keyframe_vs_accurate":
                           report["keyframe_vs_accurate"]["scanner_recall"]}))
 
-    # per-language fast-mode variants: each language's own trained head
     if args.lang_variants:
-        from eval_synth import LANGUAGE_CORPUS
-
         rows = []
         for lang in args.lang_variants:
-            spec = LANGUAGE_CORPUS[lang]
-            name, video, ref_srt, cues, area_ratios = build_corpus(
-                workdir, [spec]
-            )[0]
-            lang_engines: dict = {}
-            r, wall, ex = run_mode_on_video(
-                "fast", lang, video, ref_srt, area_ratios, workdir,
-                lang_engines
-            )
-            row = {
-                "language": lang,
-                "rec_loaded": ex.engine.rec_loaded,
-                "wall_seconds": round(wall, 1),
-                **r.as_dict(),
-            }
-            print(json.dumps(row), flush=True)
-            rows.append(row)
+            row = drive_stage(f"lang_{lang}", args, notes)
+            if row is not None:
+                rows.append(row)
         report["language_variants"] = rows
 
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {args.out}")
+    if notes:
+        print("notes:", *notes, sep="\n  ")
 
 
 if __name__ == "__main__":
