@@ -58,6 +58,35 @@ class ModelSpec:
 _MOBILE_ONLY_REC_FAMILIES = ("latin", "arabic", "cyrillic", "devanagari")
 
 
+def opt_path(ckpt_path: str) -> str:
+    """Optimizer-state sidecar location for a checkpoint.
+
+    Adam moments are a training-resume artifact, not a release asset (the
+    reference ships inference-only model dirs, reference backend/models/V3/),
+    so sidecars live OUTSIDE the checkpoints tree: $VSE_OPT_DIR, defaulting
+    to ~/.cache/vse_tpu/opt. A legacy `<ckpt>.opt` sibling is still honored
+    for reads (see trainer resume paths)."""
+    root = os.environ.get(
+        "VSE_OPT_DIR", os.path.expanduser("~/.cache/vse_tpu/opt")
+    )
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(
+        root, os.path.basename(os.path.abspath(ckpt_path)) + ".opt"
+    )
+
+
+def find_opt_sidecar(ckpt_path: str) -> Optional[str]:
+    """Existing optimizer sidecar for a checkpoint: the cache-dir location,
+    else the legacy in-tree `<ckpt>.opt` sibling, else None."""
+    p = opt_path(ckpt_path)
+    if os.path.isdir(p):
+        return p
+    legacy = os.path.abspath(ckpt_path) + ".opt"
+    if os.path.isdir(legacy):
+        return legacy
+    return None
+
+
 def rec_ckpt_path(language: str, variant: str) -> str:
     """Canonical checkpoint path for a rec head. Single source of truth used
     by both resolve() and the trainer, so trained heads always land where the

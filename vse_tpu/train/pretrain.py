@@ -222,11 +222,13 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         "variant": variant,
     }
 
+    from vse_tpu.core.registry import opt_path
+
     def checkpoint(step):
         # opt sidecar FIRST: if we die between the two saves, the main
         # checkpoint's step is older than the sidecar's and the mismatch
         # check below simply ignores the sidecar
-        save_params(opt_state, path + ".opt", meta={"step": step})
+        save_params(opt_state, opt_path(path), meta={"step": step})
         save_params(
             {"params": params, "batch_stats": batch_stats}, path,
             meta={**meta, "step": step},
@@ -249,9 +251,12 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
                 batch_stats = restored["batch_stats"]
                 start_step = int(prior_meta.get("step", 0))
                 print(f"resuming {path} from step {start_step}")
-                opt_meta = load_meta(path + ".opt")
+                from vse_tpu.core.registry import find_opt_sidecar
+
+                opt_side = find_opt_sidecar(path)
+                opt_meta = load_meta(opt_side) if opt_side else None
                 if opt_meta and int(opt_meta.get("step", -1)) == start_step:
-                    opt_state = load_params(path + ".opt", like=opt_state)
+                    opt_state = load_params(opt_side, like=opt_state)
                     print("restored optimizer state (adam moments + schedule)")
             except Exception as e:
                 print(f"resume failed ({e}); training from scratch")
@@ -515,15 +520,20 @@ def train_det(steps: int, batch: int, lr: float, seed: int,
             batch_stats = {k: v for k, v in restored.items() if k != "params"}
             start_step = int((prior_meta or {}).get("step", 0))
             print(f"resuming {path} from step {start_step}")
-            opt_meta = load_meta(path + ".opt")
+            from vse_tpu.core.registry import find_opt_sidecar
+
+            opt_side = find_opt_sidecar(path)
+            opt_meta = load_meta(opt_side) if opt_side else None
             if opt_meta and int(opt_meta.get("step", -1)) == start_step:
-                opt_state = load_params(path + ".opt", like=opt_state)
+                opt_state = load_params(opt_side, like=opt_state)
                 print("restored optimizer state (adam moments + schedule)")
         except Exception as e:
             print(f"resume failed ({e}); training from scratch")
 
+    from vse_tpu.core.registry import opt_path
+
     def det_checkpoint(step):
-        save_params(opt_state, path + ".opt", meta={"step": step})
+        save_params(opt_state, opt_path(path), meta={"step": step})
         save_params({"params": params, **batch_stats}, path,
                     meta={"variant": variant, "step": step})
 
