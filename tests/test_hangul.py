@@ -69,6 +69,49 @@ def test_synth_renderer_korean():
     assert cs.encode(label)
 
 
+def test_jamo_charset_roundtrip():
+    """JamoCharset factors syllables into positional-jamo CTC classes and
+    recomposes at decode (vse_tpu/core/charset.py); the text contract is
+    unchanged vs the syllable-level head."""
+    from vse_tpu.core.charset import get_charset, to_jamo
+
+    j = to_jamo(get_charset("korean")).without_space()
+    # 94 ascii + 19 choseong + 21 jungseong + 27 jongseong
+    assert j.vocab_size == 161
+    for t in ["안녕하세요", "한국어자막123", "ㅋㅋㅋ대박", "값넓다닭",
+              "hello월드!"]:
+        assert j.decode_ids(j.encode(t)) == t
+    # every modern syllable in the dict round-trips
+    base = get_charset("korean")
+    syll = [c for c in base.chars if is_syllable(c)]
+    assert all(j.decode_ids(j.encode(c)) == c for c in syll)
+    # 2-3 ids per syllable
+    assert len(j.encode("한")) == 3 and len(j.encode("하")) == 2
+
+
+def test_jamo_renderer_alphabet():
+    """The renderer generates/draws syllables even when labels factor to
+    jamo (render_chars keeps the syllable alphabet)."""
+    import pytest
+
+    pytest.importorskip("cv2")
+    from vse_tpu.core.charset import get_charset, to_jamo
+    from vse_tpu.train.synth import SynthConfig, TextRenderer
+
+    cs = to_jamo(get_charset("korean")).without_space()
+    r = TextRenderer(
+        cs, SynthConfig(words_only=True, fixed_stroke=2, max_label_len=56),
+        seed=3,
+    )
+    n_syll = sum(1 for c in r.alphabet if is_syllable(c))
+    assert n_syll == 2350
+    b = r.rec_batch(4)
+    # labels are jamo ids: strictly more ids than syllables for any Hangul
+    # text, and every id within the jamo vocab
+    assert (b["labels"] < cs.num_classes).all()
+    assert b["label_lengths"].max() > 0
+
+
 def test_korean_dict_is_ksx1001():
     """The shipped korean dict must carry exactly the KS X 1001 modern
     syllable set (tools/gen_charsets.py::hangul_ksx1001) — the trained

@@ -150,6 +150,129 @@ class Charset:
         return cls(name=name, chars=tuple(chars), use_space_char=use_space_char)
 
 
+# Conjoining-jamo token blocks (Unicode choseong/jungseong/jongseong): each
+# positional jamo class gets its own codepoint, so initial-ㄱ and final-ㄱ are
+# DISTINCT CTC classes and syllable recomposition at decode time is
+# unambiguous (L then V then optional T, positions never collide).
+_CHOSEONG = tuple(chr(0x1100 + i) for i in range(19))
+_JUNGSEONG = tuple(chr(0x1161 + i) for i in range(21))
+_JONGSEONG = tuple(chr(0x11A8 + i) for i in range(27))  # index 1..27 of FINALS
+
+
+@dataclass(frozen=True)
+class JamoCharset(Charset):
+    """Korean charset factored to positional-jamo CTC classes.
+
+    The syllable-level korean head is a 2,350-way classification through a
+    ~25 px glyph — the r3 accuracy frontier (CER 0.30). Every modern
+    syllable decomposes arithmetically into (initial, medial, final) jamo
+    (vse_tpu/core/hangul.py), and the stroke composer draws exactly those
+    jamo, so the natural TPU-native head is 19+21+27 positional jamo
+    classes plus the non-Hangul chars: encode() emits 2-3 jamo ids per
+    syllable, decode_ids() recomposes. Standalone compatibility jamo
+    (subtitle 'ㅋㅋㅋ') encode as lone positional tokens and decode back to
+    compatibility forms. The reference's korean head keeps syllable classes
+    (reference backend/models/V3/korean_rec_fast) — the factorization is a
+    rebuild choice, invisible at the text-output contract.
+
+    `render_chars` keeps the syllable-level alphabet for the synthetic
+    renderer (text is still GENERATED as syllables; only labels factor)."""
+
+    render_chars: Tuple[str, ...] = ()
+
+    def encode(self, text: str) -> List[int]:
+        from vse_tpu.core.hangul import (
+            FINALS, INITIALS, MEDIALS, decompose_indices, is_syllable,
+        )
+
+        idx = self._index  # type: ignore[attr-defined]
+        out: List[int] = []
+        for c in text:
+            if is_syllable(c):
+                l, v, t = decompose_indices(c)
+                out.append(idx[_CHOSEONG[l]])
+                out.append(idx[_JUNGSEONG[v]])
+                if t:
+                    out.append(idx[_JONGSEONG[t - 1]])
+            elif c in idx:
+                out.append(idx[c])
+            elif c in INITIALS:  # standalone compatibility consonant
+                out.append(idx[_CHOSEONG[INITIALS.index(c)]])
+            elif c in MEDIALS:
+                out.append(idx[_JUNGSEONG[MEDIALS.index(c)]])
+            elif c in FINALS:  # final-only compounds (ㄳ ㄵ ...)
+                out.append(idx[_JONGSEONG[FINALS.index(c) - 1]])
+            # unknown chars dropped (PP-OCR encoder behavior)
+        return out
+
+    def decode_ids(self, ids: Sequence[int]) -> str:
+        from vse_tpu.core.hangul import FINALS, INITIALS, MEDIALS, compose
+
+        toks = [
+            self.chars[i - 1] for i in ids if 1 <= i <= len(self.chars)
+        ]
+        out: List[str] = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            o = ord(toks[i])
+            if 0x1100 <= o <= 0x1112:  # choseong
+                if i + 1 < n and 0x1161 <= ord(toks[i + 1]) <= 0x1175:
+                    l, v = o - 0x1100, ord(toks[i + 1]) - 0x1161
+                    i += 2
+                    t = 0
+                    if i < n and 0x11A8 <= ord(toks[i]) <= 0x11C2:
+                        t = ord(toks[i]) - 0x11A7
+                        i += 1
+                    out.append(compose(l, v, t))
+                else:  # lone consonant -> compatibility form (ㅋㅋㅋ)
+                    out.append(INITIALS[o - 0x1100])
+                    i += 1
+            elif 0x1161 <= o <= 0x1175:  # stray vowel
+                out.append(MEDIALS[o - 0x1161])
+                i += 1
+            elif 0x11A8 <= o <= 0x11C2:  # stray final
+                out.append(FINALS[o - 0x11A7])
+                i += 1
+            else:
+                out.append(toks[i])
+                i += 1
+        return "".join(out)
+
+    def without_space(self) -> "JamoCharset":
+        if not self.use_space_char and " " not in self.chars:
+            return self
+        return JamoCharset(
+            name=self.name,
+            chars=tuple(c for c in self.chars if c != " "),
+            use_space_char=False,
+            fold_case=self.fold_case,
+            render_chars=self.render_chars,
+        )
+
+
+def to_jamo(base: Charset) -> JamoCharset:
+    """Factor a syllable-level korean charset into the jamo charset. The
+    non-Hangul chars keep their identity; syllables and compatibility jamo
+    are replaced by the 67 positional jamo classes."""
+    from vse_tpu.core.hangul import is_syllable
+
+    def _is_compat(c: str) -> bool:
+        return 0x3130 <= ord(c) < 0x3190
+
+    keep = tuple(
+        c for c in base.chars
+        if c != " " and not is_syllable(c) and not _is_compat(c)
+    )
+    return JamoCharset(
+        name=base.name,
+        chars=keep + _CHOSEONG + _JUNGSEONG + _JONGSEONG,
+        use_space_char=base.use_space_char,
+        fold_case=False,
+        render_chars=base.chars,
+    )
+
+
 _BUILTIN: Dict[str, Charset] = {}
 
 

@@ -116,6 +116,19 @@ def decompose(ch: str) -> Tuple[str, str, str]:
     return INITIALS[l], MEDIALS[v], (FINALS[t] if t else "")
 
 
+def decompose_indices(ch: str) -> Tuple[int, int, int]:
+    """Syllable -> (initial, medial, final) indices; final 0 = none."""
+    idx = ord(ch) - S_BASE
+    l, rem = divmod(idx, N_MEDIAL * N_FINAL)
+    v, t = divmod(rem, N_FINAL)
+    return l, v, t
+
+
+def compose(l: int, v: int, t: int = 0) -> str:
+    """(initial, medial, final) indices -> the composed syllable."""
+    return chr(S_BASE + (l * N_MEDIAL + v) * N_FINAL + t)
+
+
 Box = Tuple[float, float, float, float]  # (x0, y0, x1, y1) in unit square
 
 

@@ -151,6 +151,13 @@ class OcrEngine:
                 self.charset = self.charset.folded()
             if not rec_meta.get("use_space_char", True):
                 self.charset = self.charset.without_space()
+            if rec_meta.get("jamo", False):
+                # korean heads trained on positional-jamo classes
+                # (vse_tpu/core/charset.py JamoCharset); decode recomposes
+                # syllables, so the text contract is unchanged
+                from vse_tpu.core.charset import to_jamo
+
+                self.charset = to_jamo(self.charset)
         self.rec_model = CRNNRecognizer(
             vocab_size=self.charset.vocab_size, variant=self.rec_variant
         )

@@ -62,6 +62,12 @@ def _rec_train_charset(language: str, use_space: bool, fold_case: bool):
         charset = charset.folded()
     if not use_space:
         charset = charset.without_space()
+    if charset.name == "korean":
+        # factor syllables into positional-jamo CTC classes (2,350 -> 161;
+        # the r3 syllable head plateaued at CER 0.30) — see JamoCharset
+        from vse_tpu.core.charset import to_jamo
+
+        charset = to_jamo(charset)
     return charset
 
 
@@ -148,6 +154,13 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     charset = _rec_train_charset(language, use_space, fold_case)
     # subtitle-domain profile: real words with burned-in outlines
     cfg = SynthConfig(words_only=True, fixed_stroke=2)
+    from vse_tpu.core.charset import JamoCharset
+
+    is_jamo = isinstance(charset, JamoCharset)
+    if is_jamo:
+        # 2-3 label tokens per rendered syllable: a 320-px line holds up to
+        # ~16 syllables -> 48 jamo; CTC time axis is W/4 = 80 steps
+        cfg.max_label_len = 56
     # fp32 activations for training: bf16 stalls CTC convergence (measured:
     # fresh-data loss frozen at ~17.6 in bf16 vs steadily dropping in fp32);
     # inference still runs the trained fp32 params through the bf16 graph
@@ -220,6 +233,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         "fold_case": charset.fold_case,
         "vocab_size": charset.vocab_size,
         "variant": variant,
+        "jamo": is_jamo,
     }
 
     from vse_tpu.core.registry import opt_path

@@ -71,6 +71,10 @@ class TextRenderer:
         self.fonts = _font_paths()
         if not self.fonts:
             raise RuntimeError("no TTF fonts found (matplotlib DejaVu expected)")
+        # the RENDER alphabet may differ from the label charset: a factored
+        # charset (JamoCharset) labels positional jamo, but text is still
+        # generated/drawn as syllables
+        render_chars = getattr(charset, "render_chars", None) or charset.chars
         # restrict generation to chars the fonts actually cover — drawing
         # uncovered chars renders tofu boxes whose labels poison CTC; the
         # HEAD still spans the full family charset (ids come from `charset`).
@@ -78,7 +82,7 @@ class TextRenderer:
         # matplotlib dir ships DejaVuSansDisplay.ttf with a 47-glyph cmap —
         # intersecting with it would zero every alphabet).
         per_font = {
-            p: set(font_covered_chars([p], charset.chars)) for p in self.fonts
+            p: set(font_covered_chars([p], render_chars)) for p in self.fonts
         }
         best = max(len(v) for v in per_font.values())
         self.fonts = [
@@ -86,7 +90,7 @@ class TextRenderer:
         ]
         covered = set.intersection(*(per_font[p] for p in self.fonts))
         # charset order (not set order): keeps datasets reproducible
-        self.alphabet = [c for c in charset.chars if c in covered and c.strip()]
+        self.alphabet = [c for c in render_chars if c in covered and c.strip()]
         # Hangul: no font covers it, but syllables compose programmatically
         # (vse_tpu/core/hangul.py) — the renderable alphabet is every
         # composable syllable plus whatever the fonts cover (digits etc.)
@@ -95,22 +99,22 @@ class TextRenderer:
             from vse_tpu.core.hangul import is_syllable
 
             self.alphabet = [
-                c for c in charset.chars
+                c for c in render_chars
                 if c.strip() and (is_syllable(c) or c in covered)
             ]
         if not self.alphabet:
             raise RuntimeError(
                 f"charset {charset.name!r}: the available fonts cover none of "
-                f"its {len(charset.chars)} characters — drop a covering TTF "
+                f"its {len(render_chars)} characters — drop a covering TTF "
                 "into the font path to train this family"
             )
-        frac = len(self.alphabet) / max(1, len(charset.chars))
+        frac = len(self.alphabet) / max(1, len(render_chars))
         if frac < 0.5:
             import warnings
 
             warnings.warn(
                 f"charset {charset.name!r}: fonts cover only "
-                f"{len(self.alphabet)}/{len(charset.chars)} chars; the "
+                f"{len(self.alphabet)}/{len(render_chars)} chars; the "
                 "trained head will not see the rest", stacklevel=2,
             )
         # Arabic: render shaped presentation forms in visual (RTL) order —
