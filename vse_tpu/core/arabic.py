@@ -211,3 +211,23 @@ def visual_to_logical(text: str) -> str:
 
 def is_arabic_family(family: str) -> bool:
     return family == "arabic"
+
+
+# Codepoint pairs whose DejaVu glyphs are PIXEL-IDENTICAL (verified by
+# bitmap comparison of isolated renders): Arabic-Indic vs Extended
+# Arabic-Indic digits, heh/ae, alef-maksura/Farsi-yeh. Separate CTC classes
+# for these force coin-flip errors by construction; the charset folds each
+# variant onto its canonical form (Charset.aliased), and decoded text
+# carries the canonical char — a normalization, not an information loss,
+# since the burned-in pixels never distinguished them.
+HOMOGLYPHS = {
+    "ە": "ه",
+    "ی": "ى",
+    "۰": "٠",
+    "۱": "١",
+    "۲": "٢",
+    "۳": "٣",
+    "۷": "٧",
+    "۸": "٨",
+    "۹": "٩",
+}

@@ -67,12 +67,19 @@ class Charset:
     contain only lowercase letters): case twins like c/C, s/S, o/O differ
     only in glyph size and split CTC probability mass — folding them is the
     difference between convergence and blank collapse when training heads
-    from scratch."""
+    from scratch.
+
+    `aliases` maps variant chars onto a canonical class the same way: pairs
+    whose glyphs are pixel-identical in the rendering font (Arabic-Indic vs
+    Extended Arabic-Indic digits ١/۱, ه/ە, ى/ی) are indistinguishable BY
+    CONSTRUCTION, so separate classes just force coin-flip errors; encode
+    folds the variant onto the canonical char (which alone keeps a class)."""
 
     name: str
     chars: Tuple[str, ...]
     use_space_char: bool = True
     fold_case: bool = False
+    aliases: Tuple[Tuple[str, str], ...] = ()
 
     def __post_init__(self):
         chars = tuple(self.chars)
@@ -82,6 +89,7 @@ class Charset:
         object.__setattr__(
             self, "_index", {c: i + 1 for i, c in enumerate(chars)}
         )
+        object.__setattr__(self, "_alias_map", dict(self.aliases))
 
     @property
     def vocab_size(self) -> int:
@@ -96,6 +104,9 @@ class Charset:
         if self.fold_case:
             text = text.lower()
         idx = self._index  # type: ignore[attr-defined]
+        am = self._alias_map  # type: ignore[attr-defined]
+        if am:
+            text = "".join(am.get(c, c) for c in text)
         return [idx[c] for c in text if c in idx]
 
     def decode_ids(self, ids: Sequence[int]) -> str:
@@ -117,6 +128,19 @@ class Charset:
             chars=tuple(c for c in self.chars if c != " "),
             use_space_char=False,
             fold_case=self.fold_case,
+            aliases=self.aliases,
+        )
+
+    def aliased(self, alias_map: Dict[str, str]) -> "Charset":
+        """Homoglyph-folded variant: each alias key loses its class and
+        encodes as its canonical value (which must stay in the charset)."""
+        keys = set(alias_map)
+        return Charset(
+            name=self.name,
+            chars=tuple(c for c in self.chars if c not in keys),
+            use_space_char=self.use_space_char,
+            fold_case=self.fold_case,
+            aliases=tuple(sorted(alias_map.items())),
         )
 
     def folded(self) -> "Charset":

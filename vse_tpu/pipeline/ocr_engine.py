@@ -158,6 +158,12 @@ class OcrEngine:
                 from vse_tpu.core.charset import to_jamo
 
                 self.charset = to_jamo(self.charset)
+            if rec_meta.get("homoglyph_fold", False):
+                # heads trained with pixel-identical glyph twins folded
+                # (arabic digit pairs, ه/ە, ى/ی — vse_tpu/core/arabic.py)
+                from vse_tpu.core.arabic import HOMOGLYPHS
+
+                self.charset = self.charset.aliased(HOMOGLYPHS)
         self.rec_model = CRNNRecognizer(
             vocab_size=self.charset.vocab_size, variant=self.rec_variant
         )

@@ -68,6 +68,12 @@ def _rec_train_charset(language: str, use_space: bool, fold_case: bool):
         from vse_tpu.core.charset import to_jamo
 
         charset = to_jamo(charset)
+    if charset.name == "arabic":
+        # fold DejaVu pixel-identical homoglyphs (digit twins, ه/ە, ى/ی):
+        # separate classes are coin-flips by construction
+        from vse_tpu.core.arabic import HOMOGLYPHS
+
+        charset = charset.aliased(HOMOGLYPHS)
     return charset
 
 
@@ -78,9 +84,12 @@ def load_or_render_rec_dataset(language: str, pregen: int, batch: int,
     TPU is busy; `python -m vse_tpu.train.pretrain render ...`)."""
     charset = _rec_train_charset(language, use_space, fold_case)
     cfg = SynthConfig(words_only=True, fixed_stroke=2)
+    # bump when the renderer's text DISTRIBUTION changes (e.g. the arabic
+    # core-letter weighting): cached texts would silently keep the old one
+    gen = "g2" if language in ("ar", "arabic") else ""
     ds_path = (
         f"/tmp/vse_rec_ds_{language}_{pregen}x{batch}"
-        f"_w{int(cfg.words_only)}s{cfg.fixed_stroke}.npz"
+        f"_w{int(cfg.words_only)}s{cfg.fixed_stroke}{gen}.npz"
     )
     if os.path.exists(ds_path):
         print(f"loading cached dataset {ds_path}")
@@ -161,6 +170,14 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         # 2-3 label tokens per rendered syllable: a 320-px line holds up to
         # ~16 syllables -> 48 jamo; CTC time axis is W/4 = 80 steps
         cfg.max_label_len = 56
+    else:
+        from vse_tpu.core.strokefont import stroke_script_for
+
+        if stroke_script_for(charset.name) is not None:
+            # combining marks add label chars without advancing the pen —
+            # a width-trimmed line can exceed the default 24 labels, and a
+            # silently truncated label poisons CTC supervision
+            cfg.max_label_len = 36
     # fp32 activations for training: bf16 stalls CTC convergence (measured:
     # fresh-data loss frozen at ~17.6 in bf16 vs steadily dropping in fp32);
     # inference still runs the trained fp32 params through the bf16 graph
@@ -234,6 +251,7 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         "vocab_size": charset.vocab_size,
         "variant": variant,
         "jamo": is_jamo,
+        "homoglyph_fold": bool(charset.aliases),
     }
 
     from vse_tpu.core.registry import opt_path

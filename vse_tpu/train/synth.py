@@ -102,6 +102,24 @@ class TextRenderer:
                 c for c in render_chars
                 if c.strip() and (is_syllable(c) or c in covered)
             ]
+        # hand-authored stroke scripts (th/devanagari/ta/te — strokefont.py):
+        # no covering font exists in this image, glyphs draw from polylines
+        self._stroke = None
+        if not self._hangul:
+            from vse_tpu.core.strokefont import stroke_script_for
+
+            self._stroke = stroke_script_for(charset.name)
+        if self._stroke is not None:
+            self.alphabet = [
+                c for c in render_chars
+                if c.strip() and (self._stroke.covers(c) or c in covered)
+            ]
+            self._stroke_bases = [
+                c for c in render_chars if c in self._stroke.glyphs
+            ]
+            self._stroke_marks = [
+                c for c in render_chars if c in self._stroke.marks
+            ]
         if not self.alphabet:
             raise RuntimeError(
                 f"charset {charset.name!r}: the available fonts cover none of "
@@ -144,6 +162,14 @@ class TextRenderer:
                 c for c in self.alphabet
                 if unicodedata.category(c) != "Mn"
             ]
+            # frequency realism: real Arabic-script subtitles are dominated
+            # by the core U+0621-064A letters; a uniform soup over the full
+            # ~110-char family (incl. rare Farsi/Urdu extension letters that
+            # differ only by dot placement) makes both training and eval
+            # unrealistically adversarial
+            self._core_arabic = [
+                c for c in self.alphabet if 0x0621 <= ord(c) <= 0x064A
+            ]
         # English words only make sense for heads that contain ascii letters;
         # other scripts get pseudo-words drawn from their own alphabet. Heads
         # with non-ascii chars (latin accents, mixed heads) mix in pseudo-
@@ -163,10 +189,53 @@ class TextRenderer:
     from vse_tpu.post.wordseg import _COMMON as _WORDS  # noqa: N815
 
     def _pseudo_word(self) -> str:
+        if self._stroke is not None and getattr(self, "_stroke_bases", None):
+            return self._stroke_word()
+        if self._arabic and getattr(self, "_core_arabic", None):
+            k = int(self.rng.integers(2, 9))
+            return "".join(
+                str(self.rng.choice(self._core_arabic))
+                if self.rng.random() < 0.85
+                else str(self.rng.choice(self.alphabet))
+                for _ in range(k)
+            ).strip()
         k = int(self.rng.integers(2, 9))
         return "".join(
             str(self.rng.choice(self.alphabet)) for _ in range(k)
         ).strip()
+
+    def _stroke_word(self) -> str:
+        """Orthographic pseudo-word for a stroke script: base consonants
+        with slot-appropriate combining vowels/tones (a flat char soup would
+        put stray marks everywhere; real text attaches them to bases)."""
+        s = self._stroke
+        if not hasattr(self, "_slot_cache"):
+            by_slot = {"pre": [], "post": [], "above0": [], "above1": [],
+                       "below": []}
+            for c in self._stroke_marks:
+                m = s.marks[c]
+                key = (
+                    "above0" if (m.slot == "above" and m.level == 0)
+                    else "above1" if m.slot == "above" else m.slot
+                )
+                by_slot[key].append(c)
+            self._slot_cache = by_slot
+        sl = self._slot_cache
+        out = []
+        for _ in range(int(self.rng.integers(2, 6))):
+            if sl["pre"] and self.rng.random() < 0.18:
+                out.append(str(self.rng.choice(sl["pre"])))
+            out.append(str(self.rng.choice(self._stroke_bases)))
+            r = self.rng.random()
+            if sl["above0"] and r < 0.25:
+                out.append(str(self.rng.choice(sl["above0"])))
+            elif sl["below"] and r < 0.40:
+                out.append(str(self.rng.choice(sl["below"])))
+            if sl["above1"] and self.rng.random() < 0.18:
+                out.append(str(self.rng.choice(sl["above1"])))
+            if sl["post"] and self.rng.random() < 0.20:
+                out.append(str(self.rng.choice(sl["post"])))
+        return "".join(out)
 
     def random_text(self, min_len=3, max_len=18) -> str:
         n = int(self.rng.integers(min_len, max_len + 1))
@@ -230,6 +299,8 @@ class TextRenderer:
 
         if self._hangul:
             return self._render_line_hangul(img, draw, text, x, font)
+        if self._stroke is not None:
+            return self._render_line_stroke(img, draw, text, x, font)
         # explicit RTL paragraph direction keeps raqm's bidi in lockstep
         # with the visual-order labels even for digit-leading lines
         draw_kw = (
@@ -282,6 +353,63 @@ class TextRenderer:
             stroke = 2 if self.rng.random() < d else 0
         render_hangul_text(draw, (x, y), text, size, font, fill=fill,
                            stroke_width=stroke, stroke_fill=(0, 0, 0))
+        return np.asarray(img, np.uint8), text
+
+    def _render_line_stroke(self, img, draw, text, x, font):
+        """Stroke-script rec crop (th/devanagari/ta/te): hand-authored
+        glyph composition (core/strokefont.py), PIL-font fallback for
+        font-covered chars (digits/punctuation)."""
+        from vse_tpu.core.strokefont import draw_text, line_width
+
+        s = self._stroke
+        cfg = self.cfg
+        size = min(font.size + 10, cfg.rec_h - 10)
+        y = int(self.rng.integers(0, max(1, cfg.rec_h - size - 4)))
+
+        def width_of(t: str) -> int:
+            w, seg = 0, []
+            for ch in t:
+                if s.covers(ch) or ch == " ":
+                    seg.append(ch)
+                else:
+                    if seg:
+                        w += line_width(s, "".join(seg), size)
+                        seg = []
+                    w += int(draw.textlength(ch, font=font)) + 2
+            if seg:
+                w += line_width(s, "".join(seg), size)
+            return w
+
+        while text and width_of(text) > cfg.rec_w - x - 2:
+            text = text[:-1].rstrip()
+        if not text:
+            text = str(self.rng.choice(self._stroke_bases))
+        d = self.cfg.difficulty
+        fill = (255, 255, 0) if self.rng.random() < 0.3 * d else (255, 255, 255)
+        if self.cfg.fixed_stroke >= 0:
+            stroke = self.cfg.fixed_stroke
+        else:
+            stroke = 2 if self.rng.random() < d else 0
+        cx, seg = x, []
+
+        def flush_seg():
+            nonlocal cx, seg
+            if seg:
+                cx += draw_text(
+                    draw, (cx, y), "".join(seg), size, s, fill=fill,
+                    stroke_width=stroke, stroke_fill=(0, 0, 0),
+                )
+                seg = []
+
+        for ch in text:
+            if s.covers(ch) or ch == " ":
+                seg.append(ch)
+            else:
+                flush_seg()
+                draw.text((cx, y + size // 5), ch, font=font, fill=fill,
+                          stroke_width=stroke, stroke_fill=(0, 0, 0))
+                cx += int(draw.textlength(ch, font=font)) + 2
+        flush_seg()
         return np.asarray(img, np.uint8), text
 
     def rec_batch(self, batch: int) -> Dict[str, np.ndarray]:
