@@ -97,6 +97,60 @@ def _bench_video_path(seconds_video: int = 20):
     return path
 
 
+def _bench_video_text_path(seconds_video: int = 20):
+    """Text-BEARING bench video: real rendered subtitle lines in the band,
+    changing every 2 s — rec fires on every sampled frame, unlike the
+    stripes video where det finds ~nothing (VERDICT r3 weak #8)."""
+    import cv2
+    from PIL import Image, ImageDraw, ImageFont
+
+    from vse_tpu.train.synth import _font_paths
+
+    H, W, FPS = 1080, 1920, 25.0
+    path = f"/tmp/vse_bench_text_{H}x{W}_{seconds_video}s.mp4"
+    if not os.path.exists(path):
+        font = ImageFont.truetype(_font_paths()[0], 42)
+        rng = np.random.default_rng(1)
+        base = rng.integers(0, 160, size=(H, W, 3), dtype=np.uint8)
+        lines = ["the quick brown fox jumps", "over the lazy dog tonight",
+                 "subtitle timing test line", "another burned in caption",
+                 "final line of the benchmark"]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS,
+                             (W, H))
+        for i in range(int(seconds_video * FPS)):
+            img = Image.fromarray(base)
+            d = ImageDraw.Draw(img)
+            text = lines[(i // int(2 * FPS)) % len(lines)]
+            tw = d.textlength(text, font=font)
+            d.text(((W - tw) // 2, 905), text, font=font,
+                   fill=(255, 255, 255), stroke_width=2, stroke_fill=(0, 0, 0))
+            vw.write(np.asarray(img)[:, :, ::-1].copy())
+        vw.release()
+    return path
+
+
+def bench_video_text(engine, seconds_video: int = 20):
+    """e2e accurate-mode throughput on the text-bearing video (rec + span
+    tracking active on every frame)."""
+    from vse_tpu.core.subtitle_area import SubtitleArea
+    from vse_tpu.pipeline.extractor import SubtitleExtractor
+
+    path = _bench_video_text_path(seconds_video)
+    area = SubtitleArea(ymin=880, ymax=990, xmin=0, xmax=1919)
+    ex = SubtitleExtractor(path, sub_area=area, config=engine.config,
+                           engine=engine)
+    y0, y1 = ex.upload_band()
+    warm = np.zeros((engine.config.frame_batch, y1 - y0, 1920, 3), np.uint8)
+    engine.predict_batch(warm)
+    t0 = time.perf_counter()
+    ex.extract_frame_by_det()
+    dt = time.perf_counter() - t0
+    return {
+        "e2e_video_fps_text": round(ex.frame_count / dt, 2),
+        "text_lines_read": len({r.text for r in ex.raw_records}),
+    }
+
+
 def bench_video(engine, seconds_video: int = 20):
     """The REAL accurate-mode product path: SubtitleExtractor with a
     subtitle area over a rendered 1080p video — decode -> band-crop ->
@@ -195,6 +249,7 @@ def main():
     fps, extra = bench_ocr(engine, args.batch, args.iters)
     if not args.skip_video:
         extra.update(bench_video(engine))
+        extra.update(bench_video_text(engine))
     if not args.skip_multistream:
         extra.update(bench_multistream(engine))
     print(json.dumps({

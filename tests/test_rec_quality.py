@@ -15,22 +15,23 @@ pytestmark = pytest.mark.slow
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 # Per-family (CER bar, exact-match bar) on held-out difficulty-0.8 crops
-# through the production crop geometry. Five families clear the target
-# 0.05 CER (r3 measured: en 0.002, latin 0.018, cyrillic 0.030, el 0.029,
-# ka 0.044). ar and korean are the r3 convergence frontier — contextual
-# shaping (ar) and 2,350-way syllable discrimination (korean) at ~25 px
-# effective glyph height plateau the mobile CRNN at 0.21 / 0.30 CER after
-# 32k steps; the bars below gate against REGRESSION from those measured
-# values (+headroom for eval variance) while the 0.05 target stands
-# (tools/train_all.py keeps extending them until they clear it).
+# through the production crop geometry. r4: korean cleared the target via
+# the jamo-factorized head (measured 0.021/0.85 at 24k steps) and its gate
+# is restored to the 0.05 bar; arabic trains with homoglyph folding + core-
+# letter weighting. The stroke-script families (th/devanagari/ta/te) gate
+# at the same bar once their checkpoints exist.
 FAMILY_GATES = {
     "en": (0.05, 0.6),
     "latin": (0.05, 0.6),
     "cyrillic": (0.05, 0.6),
     "el": (0.05, 0.6),
     "ka": (0.06, 0.55),
-    "arabic": (0.28, 0.10),
-    "korean": (0.40, 0.05),
+    "arabic": (0.05, 0.5),
+    "korean": (0.05, 0.6),
+    "th": (0.05, 0.5),
+    "devanagari": (0.05, 0.5),
+    "ta": (0.05, 0.5),
+    "te": (0.05, 0.5),
 }
 
 

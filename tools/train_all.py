@@ -25,10 +25,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vse_jax_cache")
 
 # families renderable in this image: DejaVu coverage (en/latin/cyrillic/
 # el/ka), DejaVu Arabic presentation forms + own shaper (ar), programmatic
-# jamo composition (korean — vse_tpu/core/hangul.py). ch/chinese_cht/japan/
-# devanagari/ta/te/th still need a covering TTF dropped into the
-# matplotlib font dir.
-DEFAULT_FAMILIES = ["en", "latin", "cyrillic", "el", "ka", "ar", "korean"]
+# jamo composition (korean — vse_tpu/core/hangul.py), hand-authored stroke
+# glyphs (th/devanagari/ta/te — vse_tpu/core/strokefont.py). Only the CJK
+# ideographic families (ch/chinese_cht/japan) still need a covering TTF
+# dropped into the matplotlib font dir (see ARCHITECTURE.md parity notes).
+DEFAULT_FAMILIES = ["en", "latin", "cyrillic", "el", "ka", "ar", "korean",
+                    "th", "devanagari", "ta", "te"]
 CER_GATE = 0.05
 
 
