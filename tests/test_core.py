@@ -102,15 +102,25 @@ def test_rec_ckpt_path_matches_resolve_and_trainer():
         assert cs.name == get_charset(lang).name
 
 
-def test_mobile_only_rec_families():
+def test_mobile_only_rec_families(tmp_path, monkeypatch):
     """The reference pins latin/arabic/cyrillic/devanagari rec heads to the
-    fast (mobile) model in every mode (reference
-    backend/tools/paddle_model_config.py:84-91)."""
-    from vse_tpu.core.config import Mode
-    from vse_tpu.core.registry import resolve
+    fast (mobile) model (reference backend/tools/paddle_model_config.py:
+    84-91) — an upstream AVAILABILITY constraint: the pin applies only
+    while no trained server checkpoint exists for the family. With one on
+    disk, auto/accurate resolve to it."""
+    import os
 
+    from vse_tpu.core.config import Mode
+    from vse_tpu.core.registry import rec_ckpt_path, resolve
+
+    monkeypatch.setenv("VSE_MODELS", str(tmp_path))
     for lang in ("de", "ru", "ar", "hi"):
         for mode in (Mode.FAST, Mode.AUTO, Mode.ACCURATE):
             assert resolve(lang, mode).rec_variant == "mobile"
     # CJK/en families still get server heads in accurate mode
     assert resolve("ch", Mode.ACCURATE).rec_variant == "server"
+    # a trained server checkpoint lifts the pin (fast stays mobile)
+    os.makedirs(rec_ckpt_path("de", "server"))
+    assert resolve("de", Mode.ACCURATE).rec_variant == "server"
+    assert resolve("de", Mode.FAST).rec_variant == "mobile"
+    assert resolve("ru", Mode.ACCURATE).rec_variant == "mobile"

@@ -86,6 +86,9 @@ def main():
     ap.add_argument("--pregen", type=int, default=600)
     ap.add_argument("--det-steps", type=int, default=3000, dest="det_steps")
     ap.add_argument("--skip-server", action="store_true")
+    ap.add_argument("--server-families", nargs="*",
+                    default=["en", "latin", "cyrillic"],
+                    dest="server_families")
     args = ap.parse_args()
 
     py = sys.executable
@@ -102,9 +105,13 @@ def main():
     if not args.skip_server:
         run([py, "-m", "vse_tpu.train.pretrain", "det", "--variant", "server",
              "--steps", str(args.det_steps), "--pregen", "2400"])
-        run([py, "-m", "vse_tpu.train.pretrain", "rec", "--language", "en",
-             "--variant", "server", "--steps", str(args.steps),
-             "--batch", "64", "--pregen", str(args.pregen)])
+        # accurate-mode rec heads: the registry resolves a trained server
+        # checkpoint for any family once it exists (core/registry.py lifts
+        # the reference's mobile pin per availability)
+        for fam in args.server_families:
+            run([py, "-m", "vse_tpu.train.pretrain", "rec", "--language",
+                 fam, "--variant", "server", "--steps", str(args.steps),
+                 "--batch", "64", "--pregen", str(args.pregen)])
     # final re-gate: exit non-zero while any family is still above the CER
     # bar, so a retrying caller keeps extending (+8000 steps per pass)
     failing = [fam for fam in args.families if not rec_ok(fam)]

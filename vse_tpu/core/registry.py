@@ -102,8 +102,15 @@ def resolve(language: str, mode: Mode, accelerated: bool = True) -> ModelSpec:
         det_v, rec_v = ("server", "server") if accelerated else ("mobile", "mobile")
     else:  # ACCURATE
         det_v, rec_v = "server", "server"
-    if family in _MOBILE_ONLY_REC_FAMILIES:
-        rec_v = "mobile"
+    if family in _MOBILE_ONLY_REC_FAMILIES and rec_v == "server":
+        # the reference pins these families to the fast model because
+        # upstream ships no server models for them — an availability
+        # constraint, not a design one. This framework trains its own
+        # server heads, so the pin only applies while no trained server
+        # checkpoint exists (the upstream fallback semantics,
+        # reference backend/tools/paddle_model_config.py:72-91).
+        if not os.path.isdir(rec_ckpt_path(language, "server")):
+            rec_v = "mobile"
     root = models_root()
     return ModelSpec(
         det_variant=det_v,
