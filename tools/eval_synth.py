@@ -76,9 +76,31 @@ def make_video(path, script, w=960, h=540, fps=25.0, font_size=30,
     rng = np.random.default_rng(seed)
     n = int(total * fps)
     line_h = font_size + 10
-    hangul = language == "korean"
+    from vse_tpu.core.charset import script_family
+
+    family = script_family(language)
+    hangul = family == "korean"
     if hangul:
         from vse_tpu.core.hangul import render_hangul_text, text_width
+    # arabic burns SHAPED presentation forms in visual order (what real
+    # subtitles show and what the head trains on — vse_tpu/core/arabic.py);
+    # a naive LTR draw of logical text produces unjoined letterforms
+    arabic = family == "arabic"
+    if arabic:
+        from fontTools.ttLib import TTFont
+
+        from vse_tpu.core.arabic import render_forms
+
+        cm = {chr(c) for c in TTFont(
+            _font(font_size).path, lazy=True).getBestCmap()}
+    stroke = None
+    if not hangul and not arabic:
+        from vse_tpu.core.strokefont import stroke_script_for
+
+        stroke = stroke_script_for(family)
+    if stroke is not None:
+        from vse_tpu.core.strokefont import draw_text as stroke_draw
+        from vse_tpu.core.strokefont import line_width as stroke_width
     for f in range(n):
         t = f / fps
         base = _background(style, w, h, f, rng)
@@ -107,6 +129,16 @@ def make_video(path, script, w=960, h=540, fps=25.0, font_size=30,
                         stroke_fill=(0, 0, 0, 255),
                     )
                     continue
+                if stroke is not None:
+                    tw = stroke_width(stroke, line, font_size)
+                    stroke_draw(
+                        rdraw, ((w - tw) // 2, y), line, font_size, stroke,
+                        fill=(255, 255, 255, 255), stroke_width=2,
+                        stroke_fill=(0, 0, 0, 255),
+                    )
+                    continue
+                if arabic:
+                    line, _ = render_forms(line, cm)
                 bbox = rdraw.textbbox((0, 0), line, font=font, stroke_width=2)
                 tw = bbox[2] - bbox[0]
                 x = (w - tw) // 2
@@ -272,6 +304,46 @@ LANGUAGE_CORPUS = {
             "우리는 집에 간다", "아침의 첫 빛", "바다는 잔잔했다",
             "아이들이 밖에서 놀았다", "음악이 조용히 흘렀다",
             "거리는 비어 있었다", "안녕히 주무세요",
+        ]),
+    },
+    "th": {
+        "name": "lang_th", "language": "th", "style": "gradient", "w": 960, "h": 540,
+        "font": 30,
+        "script": _timed([
+            "สวัสดีชาวโลก", "นี่คือการทดสอบ", "ตอนเย็นเงียบสงบ",
+            "เรากลับบ้านกัน", "แสงแรกของวัน", "ทะเลสงบนิ่ง",
+            "เด็กเล่นข้างนอก", "เพลงบรรเลงเบา", "ถนนว่างเปล่า",
+            "ราตรีสวัสดิ์",
+        ]),
+    },
+    "hi": {
+        "name": "lang_hi", "language": "hi", "style": "gradient", "w": 960, "h": 540,
+        "font": 30,
+        "script": _timed([
+            "नमस्ते दुनिया", "यह एक परीक्षण है", "शाम शांत थी",
+            "हम घर जाते हैं", "सुबह की पहली किरण", "समुद्र शांत था",
+            "बच्चे बाहर खेलते हैं", "संगीत धीरे बजता है",
+            "सड़क खाली थी", "शुभ रात्रि",
+        ]),
+    },
+    "ta": {
+        "name": "lang_ta", "language": "ta", "style": "gradient", "w": 960, "h": 540,
+        "font": 30,
+        "script": _timed([
+            "வணக்கம் உலகம்", "இது ஒரு சோதனை", "மாலை அமைதியாக",
+            "வீட்டுக்கு போகிறோம்", "காலை முதல் ஒளி", "கடல் அமைதியாக",
+            "குழந்தைகள் வெளியே", "இசை மெதுவாக", "தெரு காலியாக",
+            "இனிய இரவு",
+        ]),
+    },
+    "te": {
+        "name": "lang_te", "language": "te", "style": "gradient", "w": 960, "h": 540,
+        "font": 30,
+        "script": _timed([
+            "నమస్కారం ప్రపంచం", "ఇది ఒక పరీక్ష", "సాయంత్రం ప్రశాంతం",
+            "మనం ఇంటికి వెళ్తాం", "ఉదయపు మొదటి కాంతి", "సముద్రం ప్రశాంతం",
+            "పిల్లలు బయట ఆడారు", "సంగీతం మెల్లగా", "వీధి ఖాళీగా ఉంది",
+            "శుభరాత్రి",
         ]),
     },
 }
