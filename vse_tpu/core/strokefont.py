@@ -61,6 +61,13 @@ class StrokeScript:
     headline_y: Optional[float] = None  # unit-square y of the top bar
     # vertical band the BASE consonant occupies (marks go outside it)
     base_band: Tuple[float, float] = (0.22, 0.95)
+    # STORAGE order of pre-rendered vowels: thai stores เแโใไ before the
+    # consonant (they draw via the stray-mark path); indic scripts store
+    # pre-matras AFTER the consonant and the layout reorders at draw time
+    pre_stored_before: bool = True
+    # frequency-realistic mark subset for text generation (the full mark
+    # table includes rare/vedic signs real subtitles never stack)
+    common_marks: Tuple[str, ...] = ()
 
     def covers(self, ch: str) -> bool:
         if ch in self.glyphs or ch in self.marks:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from vse_tpu.core.charset import get_charset
+from vse_tpu.core.charset import get_charset, script_family
 from vse_tpu.core.registry import models_root, save_params
 from vse_tpu.models.crnn import CRNNRecognizer
 from vse_tpu.models.db_detector import DBDetector
@@ -84,9 +84,14 @@ def load_or_render_rec_dataset(language: str, pregen: int, batch: int,
     TPU is busy; `python -m vse_tpu.train.pretrain render ...`)."""
     charset = _rec_train_charset(language, use_space, fold_case)
     cfg = SynthConfig(words_only=True, fixed_stroke=2)
-    # bump when the renderer's text DISTRIBUTION changes (e.g. the arabic
-    # core-letter weighting): cached texts would silently keep the old one
-    gen = "g2" if language in ("ar", "arabic") else ""
+    # bump when the renderer's text DISTRIBUTION changes (arabic core-letter
+    # weighting; stroke-script storage order + common-mark weighting):
+    # cached texts would silently keep the old one
+    gen = ""
+    if language in ("ar", "arabic"):
+        gen = "g2"
+    elif script_family(language) in ("th", "devanagari", "ta", "te"):
+        gen = "g2"
     ds_path = (
         f"/tmp/vse_rec_ds_{language}_{pregen}x{batch}"
         f"_w{int(cfg.words_only)}s{cfg.fixed_stroke}{gen}.npz"

@@ -206,8 +206,12 @@ class TextRenderer:
 
     def _stroke_word(self) -> str:
         """Orthographic pseudo-word for a stroke script: base consonants
-        with slot-appropriate combining vowels/tones (a flat char soup would
-        put stray marks everywhere; real text attaches them to bases)."""
+        with slot-appropriate combining vowels/tones in the script's
+        STORAGE order (thai stores pre-vowels before the consonant; indic
+        scripts store pre-matras after — labels must match real-text label
+        order, the renderer reorders at draw time). Marks draw from the
+        script's common set 85% of the time (uniform sampling over the full
+        table stacks rare vedic signs real subtitles never show)."""
         s = self._stroke
         if not hasattr(self, "_slot_cache"):
             by_slot = {"pre": [], "post": [], "above0": [], "above1": [],
@@ -221,20 +225,33 @@ class TextRenderer:
                 by_slot[key].append(c)
             self._slot_cache = by_slot
         sl = self._slot_cache
+        common = set(s.common_marks)
+
+        def pick(pool):
+            cp = [c for c in pool if c in common]
+            if cp and self.rng.random() < 0.85:
+                return str(self.rng.choice(cp))
+            return str(self.rng.choice(pool))
+
         out = []
         for _ in range(int(self.rng.integers(2, 6))):
+            pre = None
             if sl["pre"] and self.rng.random() < 0.18:
-                out.append(str(self.rng.choice(sl["pre"])))
+                pre = pick(sl["pre"])
+            if pre is not None and s.pre_stored_before:
+                out.append(pre)
             out.append(str(self.rng.choice(self._stroke_bases)))
+            if pre is not None and not s.pre_stored_before:
+                out.append(pre)
             r = self.rng.random()
             if sl["above0"] and r < 0.25:
-                out.append(str(self.rng.choice(sl["above0"])))
+                out.append(pick(sl["above0"]))
             elif sl["below"] and r < 0.40:
-                out.append(str(self.rng.choice(sl["below"])))
+                out.append(pick(sl["below"]))
             if sl["above1"] and self.rng.random() < 0.18:
-                out.append(str(self.rng.choice(sl["above1"])))
+                out.append(pick(sl["above1"]))
             if sl["post"] and self.rng.random() < 0.20:
-                out.append(str(self.rng.choice(sl["post"])))
+                out.append(pick(sl["post"]))
         return "".join(out)
 
     def random_text(self, min_len=3, max_len=18) -> str:
