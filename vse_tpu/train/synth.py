@@ -120,6 +120,17 @@ class TextRenderer:
             self._stroke_marks = [
                 c for c in render_chars if c in self._stroke.marks
             ]
+            # frequency realism for BASES too: the core letter block
+            # dominates real text; native digits / fractions / archaic
+            # letters stay covered but rare (same rationale as the arabic
+            # core weighting)
+            lo, hi = {
+                "th": (0x0E01, 0x0E2E), "devanagari": (0x0904, 0x0939),
+                "ta": (0x0B85, 0x0BB9), "te": (0x0C05, 0x0C39),
+            }.get(charset.name, (0, 0x10FFFF))
+            self._stroke_core = [
+                c for c in self._stroke_bases if lo <= ord(c) <= hi
+            ] or self._stroke_bases
         if not self.alphabet:
             raise RuntimeError(
                 f"charset {charset.name!r}: the available fonts cover none of "
@@ -240,7 +251,10 @@ class TextRenderer:
                 pre = pick(sl["pre"])
             if pre is not None and s.pre_stored_before:
                 out.append(pre)
-            out.append(str(self.rng.choice(self._stroke_bases)))
+            if self.rng.random() < 0.85:
+                out.append(str(self.rng.choice(self._stroke_core)))
+            else:
+                out.append(str(self.rng.choice(self._stroke_bases)))
             if pre is not None and not s.pre_stored_before:
                 out.append(pre)
             r = self.rng.random()
