@@ -66,7 +66,11 @@ def split_text_groups(samples: list, thr: float, merge_thr: float = 0.5) -> list
     whose pairwise similarity falls below the dedup threshold but far above
     chance. Within ONE contiguous text run a real cue change almost never
     lands on a half-similar sentence, so adjacent groups whose best reads
-    agree at >= `merge_thr` are the same cue — merge them.
+    agree at >= `merge_thr` are the same cue — merge them. A fade-EDGE read
+    can also be a short fragment of the neighbor's text ('hl o' of 'hold on
+    a little longer') whose plain ratio is length-dominated; when one side
+    is fragment-sized the comparison also tries the best-aligned window of
+    the longer text (`_fragment_ratio`).
 
     Shared by keyframe-span refinement and the accurate-mode DetSpanTracker
     (VERDICT r3: the fade rescue must apply to BOTH strategies)."""
@@ -83,11 +87,25 @@ def split_text_groups(samples: list, thr: float, merge_thr: float = 0.5) -> list
     merged = [groups[0]]
     for g in groups[1:]:
         a, b = medoid_of(merged[-1])[1], medoid_of(g)[1]
-        if a and b and ratio(a, b) >= merge_thr:
+        if a and b and _merge_sim(a, b) >= merge_thr:
             merged[-1].extend(g)
         else:
             merged.append(g)
     return merged
+
+
+def _merge_sim(a: str, b: str) -> float:
+    """Similarity for the merge-back pass: plain ratio, plus best-window
+    containment when one read is a fragment of the other (≥3 chars and
+    under 60% of the longer read's length)."""
+    sim = ratio(a, b)
+    short, long_ = (a, b) if len(a) <= len(b) else (b, a)
+    if 3 <= len(short) < 0.6 * len(long_):
+        n = len(short)
+        for w in (n, min(n + 2, len(long_))):
+            for i in range(0, len(long_) - w + 1):
+                sim = max(sim, ratio(short, long_[i : i + w]))
+    return sim
 
 
 def medoid_of(group: list):
