@@ -37,22 +37,31 @@ def cer(ref: str, hyp: str) -> float:
 def _prod_geometry(imgs: "np.ndarray", expand_y: float = 0.45) -> "np.ndarray":
     """Deterministic production crop geometry: the engine's rec crops pass
     through rec_crop_expand_y (vse_tpu/core/config.py), so glyphs occupy
-    1/(1+2*expand_y) of the 48-px height with edge-replicated margins.
-    Renders are born full-height; evaluating without this transform
-    over-reports real-pipeline quality (r3 finding: a head with held-out
-    CER 0.0 on full-height renders read 'hello world' as 'xemuwnd' through
-    the real crop path)."""
+    1/(1+2*expand_y) of the 48-px height with edge-replicated margins, AND
+    short lines aspect-fit into the 320-px window with a hard black right
+    pad (ops/image.py crop_axis_aligned_matmul zero-pads beyond target_w).
+    Renders are born full-height/full-width; evaluating without these
+    transforms over-reports real-pipeline quality (r3: full-height CER 0.0
+    read 'hello world' as 'xemuwnd' through the real path; r4: full-width
+    CER 0.0 measured 0.26 under the black pad)."""
     import cv2
 
     h, w = imgs.shape[1], imgs.shape[2]
     nh = max(8, int(round(h / (1.0 + 2.0 * expand_y))))
     y0 = (h - nh) // 2
+    rng = np.random.default_rng(424242)
     out = np.empty_like(imgs)
     for k in range(imgs.shape[0]):
         small = cv2.resize(imgs[k], (w, nh), interpolation=cv2.INTER_LINEAR)
         out[k, :y0] = small[0]
         out[k, y0:y0 + nh] = small
         out[k, y0 + nh:] = small[-1]
+        if rng.random() < 0.6:  # deterministic seed: stable gate numbers
+            fit = int(w * rng.uniform(0.45, 0.9))
+            fitted = cv2.resize(out[k], (fit, h),
+                                interpolation=cv2.INTER_LINEAR)
+            out[k, :, :fit] = fitted
+            out[k, :, fit:] = 0
     return out
 
 

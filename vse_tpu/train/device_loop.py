@@ -142,6 +142,19 @@ def make_rec_augment(h: int, w: int) -> Callable:
         mg = crop_expand_matrix(h, nh, y_off)
         expanded = jnp.einsum("ik,bkwc->biwc", mg, x)
         x = jnp.where(jax.random.uniform(ks[17], ()) < 0.85, expanded, x)
+        # aspect-fit + BLACK right pad (p=.6): the production crop op
+        # (ops/image.py crop_axis_aligned_matmul) aspect-fits the box into
+        # the 320-px window and ZERO-pads beyond target_w, so any line
+        # narrower than ~6.7x its height reaches the head squashed-left
+        # with a hard black right edge. Heads never trained on that read
+        # CER 0.26 on exactly this transform (r4 measured; full-width CER
+        # 0.0 on the same renders) — the dominant real-pipeline loss.
+        ks2 = jax.random.split(ks[11], 3)
+        fit = jax.random.uniform(ks2[0], (), minval=0.40, maxval=0.95)
+        dw2 = jnp.maximum(24, (w * fit).astype(jnp.int32))
+        m_fit = _bilinear_weights(w, w, dw2, w)  # rows >= dw2 are zero
+        fitted = jnp.einsum("jw,bhwc->bhjc", m_fit, x)
+        x = jnp.where(jax.random.uniform(ks2[1], ()) < 0.6, fitted, x)
         return x
 
     return augment
