@@ -57,7 +57,9 @@ def _prod_geometry(imgs: "np.ndarray", expand_y: float = 0.45) -> "np.ndarray":
         out[k, y0:y0 + nh] = small
         out[k, y0 + nh:] = small[-1]
         if rng.random() < 0.6:  # deterministic seed: stable gate numbers
-            fit = int(w * rng.uniform(0.45, 0.9))
+            # uniform-scale short line: x shrinks by the SAME factor as y
+            # (natural glyph aspect), black pad beyond
+            fit = int(w * (nh / h) * rng.uniform(0.9, 1.1))
             fitted = cv2.resize(out[k], (fit, h),
                                 interpolation=cv2.INTER_LINEAR)
             out[k, :, :fit] = fitted

@@ -141,16 +141,27 @@ def make_rec_augment(h: int, w: int) -> Callable:
         y_off = jnp.clip(y_off, 0, margin)
         mg = crop_expand_matrix(h, nh, y_off)
         expanded = jnp.einsum("ik,bkwc->biwc", mg, x)
-        x = jnp.where(jax.random.uniform(ks[17], ()) < 0.85, expanded, x)
+        did_expand = jax.random.uniform(ks[17], ()) < 0.85
+        x = jnp.where(did_expand, expanded, x)
         # aspect-fit + BLACK right pad (p=.6): the production crop op
-        # (ops/image.py crop_axis_aligned_matmul) aspect-fits the box into
-        # the 320-px window and ZERO-pads beyond target_w, so any line
-        # narrower than ~6.7x its height reaches the head squashed-left
-        # with a hard black right edge. Heads never trained on that read
-        # CER 0.26 on exactly this transform (r4 measured; full-width CER
-        # 0.0 on the same renders) — the dominant real-pipeline loss.
-        ks2 = jax.random.split(ks[11], 3)
-        fit = jax.random.uniform(ks2[0], (), minval=0.40, maxval=0.95)
+        # (ops/image.py crop_axis_aligned_matmul) uniform-scales the
+        # expanded box into the 320-px window and ZERO-pads beyond
+        # target_w, so any line narrower than ~6.7x its height reaches the
+        # head at the SAME scale factor in x as in y, squashed-left against
+        # a hard black edge (measured on a real corpus crop: glyphs ~17 px,
+        # content to x=125/320, pad black; a head never trained on this
+        # read CER 0.26 where full-width CER was 0.0). The fit factor is
+        # therefore COUPLED to the applied y-squeeze (near-natural glyph
+        # aspect), with an occasional extra narrowing for long-line
+        # compression — deployment never widens glyphs.
+        ks2 = jax.random.split(ks[11], 4)
+        gy_eff = jnp.where(did_expand, gy, 1.0)
+        aspect = jax.random.uniform(ks2[0], (), minval=0.9, maxval=1.1)
+        narrow = jnp.where(
+            jax.random.uniform(ks2[2], ()) < 0.25,
+            jax.random.uniform(ks2[3], (), minval=0.6, maxval=1.0), 1.0,
+        )
+        fit = jnp.clip(gy_eff * aspect * narrow, 0.2, 1.0)
         dw2 = jnp.maximum(24, (w * fit).astype(jnp.int32))
         m_fit = _bilinear_weights(w, w, dw2, w)  # rows >= dw2 are zero
         fitted = jnp.einsum("jw,bhwc->bhjc", m_fit, x)
