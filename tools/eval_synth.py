@@ -316,6 +316,25 @@ LANGUAGE_CORPUS = {
             "ราตรีสวัสดิ์",
         ]),
     },
+    "ch": {
+        "name": "lang_ch", "language": "ch", "style": "gradient", "w": 960, "h": 540,
+        "font": 30,
+        "script": _timed([
+            "你好世界", "这是一个测试", "我们回家吧", "今天天气很好",
+            "孩子们在外面玩", "音乐很安静", "街上没有人", "大家晚安",
+            "明天早上见", "海水很平静",
+        ]),
+    },
+    "japan": {
+        "name": "lang_japan", "language": "japan", "style": "gradient", "w": 960, "h": 540,
+        "font": 30,
+        "script": _timed([
+            "こんにちは世界", "これはテストです", "わたしたちは家に帰ります",
+            "今日はいい天気です", "子供たちが外で遊んでいます",
+            "音楽が静かに流れる", "道には誰もいません", "おやすみなさい",
+            "明日の朝に会いましょう", "海はとても静かです",
+        ]),
+    },
     "hi": {
         "name": "lang_hi", "language": "hi", "style": "gradient", "w": 960, "h": 540,
         "font": 30,

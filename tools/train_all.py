@@ -26,11 +26,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vse_jax_cache")
 # families renderable in this image: DejaVu coverage (en/latin/cyrillic/
 # el/ka), DejaVu Arabic presentation forms + own shaper (ar), programmatic
 # jamo composition (korean — vse_tpu/core/hangul.py), hand-authored stroke
-# glyphs (th/devanagari/ta/te — vse_tpu/core/strokefont.py). Only the CJK
-# ideographic families (ch/chinese_cht/japan) still need a covering TTF
-# dropped into the matplotlib font dir (see ARCHITECTURE.md parity notes).
+# glyphs (th/devanagari/ta/te — vse_tpu/core/strokefont.py), and IDS-
+# composed ideographs + authored kana for the CJK families
+# (ch/chinese_cht/japan — vse_tpu/core/cjk.py; ~1100-1300 high-frequency
+# chars per dict, generation/eval confined to the covered subset).
 DEFAULT_FAMILIES = ["en", "latin", "cyrillic", "el", "ka", "ar", "korean",
-                    "th", "devanagari", "ta", "te"]
+                    "th", "devanagari", "ta", "te", "ch", "japan",
+                    "chinese_cht"]
 CER_GATE = 0.05
 
 

@@ -68,6 +68,9 @@ class StrokeScript:
     # frequency-realistic mark subset for text generation (the full mark
     # table includes rare/vedic signs real subtitles never stack)
     common_marks: Tuple[str, ...] = ()
+    # frequency-realistic BASE subset (CJK: the high-frequency ideograph
+    # core that dominates real subtitles; empty = derive from codepoints)
+    core_bases: Tuple[str, ...] = ()
 
     def covers(self, ch: str) -> bool:
         if ch in self.glyphs or ch in self.marks:
@@ -228,6 +231,10 @@ def stroke_script_for(family: str) -> Optional[StrokeScript]:
         from vse_tpu.core.telugu import TELUGU
 
         return TELUGU
+    if family in ("ch", "chinese_cht", "japan"):
+        from vse_tpu.core.cjk import cjk_script_for
+
+        return cjk_script_for(family)
     return None
 
 

@@ -124,13 +124,19 @@ class TextRenderer:
             # dominates real text; native digits / fractions / archaic
             # letters stay covered but rare (same rationale as the arabic
             # core weighting)
-            lo, hi = {
-                "th": (0x0E01, 0x0E2E), "devanagari": (0x0904, 0x0939),
-                "ta": (0x0B85, 0x0BB9), "te": (0x0C05, 0x0C39),
-            }.get(charset.name, (0, 0x10FFFF))
-            self._stroke_core = [
-                c for c in self._stroke_bases if lo <= ord(c) <= hi
-            ] or self._stroke_bases
+            if self._stroke.core_bases:
+                core = set(self._stroke.core_bases)
+                self._stroke_core = [
+                    c for c in self._stroke_bases if c in core
+                ] or self._stroke_bases
+            else:
+                lo, hi = {
+                    "th": (0x0E01, 0x0E2E), "devanagari": (0x0904, 0x0939),
+                    "ta": (0x0B85, 0x0BB9), "te": (0x0C05, 0x0C39),
+                }.get(charset.name, (0, 0x10FFFF))
+                self._stroke_core = [
+                    c for c in self._stroke_bases if lo <= ord(c) <= hi
+                ] or self._stroke_bases
         if not self.alphabet:
             raise RuntimeError(
                 f"charset {charset.name!r}: the available fonts cover none of "
@@ -192,6 +198,11 @@ class TextRenderer:
         if self._hangul:
             # the korean dict contains ascii too, but the head's job is
             # Hangul — keep English word lines a small minority
+            self._pseudo_share = 0.75
+        if self._stroke is not None and charset.name in (
+                "ch", "chinese_cht", "japan"):
+            # CJK dicts contain ascii too, but the heads' job is the
+            # ideograph/kana core (same rationale as the hangul share)
             self._pseudo_share = 0.75
 
     # common words give the recognizer realistic glyph sequences (the word
