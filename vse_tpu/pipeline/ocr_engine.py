@@ -534,12 +534,22 @@ class OcrEngine:
         return fused(self.det_params, self.rec_params, frames_dev)
 
     def _to_logical(self, text: str) -> str:
-        """Arabic heads are trained on visual-order labels (RTL rendering,
-        vse_tpu/core/arabic.py); restore logical order for output."""
-        if self.spec.rec_family == "arabic" and text:
+        """Script-aware decode post-pass. Arabic heads are trained on
+        visual-order labels (RTL rendering, vse_tpu/core/arabic.py) —
+        restore logical order; bilingual cyrillic/greek heads emit
+        arbitrary members of pixel-identical cross-script twin classes —
+        fold them toward the line's majority script
+        (vse_tpu/post/homoglyph.py)."""
+        if not text:
+            return text
+        if self.spec.rec_family == "arabic":
             from vse_tpu.core.arabic import visual_to_logical
 
             return visual_to_logical(text)
+        if self.spec.rec_family in ("cyrillic", "el"):
+            from vse_tpu.post.homoglyph import normalize_script
+
+            return normalize_script(text, self.spec.rec_family)
         return text
 
     def _format_results(self, B, boxes, valid, ids, mask, rec_scores,
