@@ -258,6 +258,25 @@ def main():
         "modes": [],
         "notes": notes,
     }
+    # a partial run (e.g. `--modes --lang-variants ...`) refreshes only the
+    # sections it computed — it must not clobber sections from a prior full
+    # run of the same report file
+    prior = None
+    try:
+        with open(args.out, encoding="utf-8") as f:
+            prior = json.load(f)
+        if prior.get("written_by") != report["written_by"]:
+            prior = None
+    except (OSError, ValueError):
+        pass
+    if prior is not None:
+        if not args.modes:
+            for k in ("corpus", "script_lines", "modes",
+                      "keyframe_vs_accurate"):
+                if k in prior:
+                    report[k] = prior[k]
+        if not args.lang_variants and "language_variants" in prior:
+            report["language_variants"] = prior["language_variants"]
     per_mode_results: dict = {}
     for mode in args.modes:
         row = drive_stage(f"mode_{mode}", args, notes)

@@ -92,6 +92,8 @@ def load_or_render_rec_dataset(language: str, pregen: int, batch: int,
         gen = "g2"
     elif script_family(language) in ("th", "devanagari", "ta", "te"):
         gen = "g3"  # g3: core-base weighting on top of the g2 mark fixes
+    elif script_family(language) in ("el", "cyrillic"):
+        gen = "g4"  # g4: native-script-majority text share (el homoglyphs)
     ds_path = (
         f"/tmp/vse_rec_ds_{language}_{pregen}x{batch}"
         f"_w{int(cfg.words_only)}s{cfg.fixed_stroke}{gen}.npz"
