@@ -88,9 +88,17 @@ def make_video(path, script, w=960, h=540, fps=25.0, font_size=30,
     arabic = family == "arabic"
     if arabic:
         from fontTools.ttLib import TTFont
+        from PIL import features
 
         from vse_tpu.core.arabic import render_forms
 
+        # with raqm, PIL itself applies BiDi + shaping to LOGICAL text —
+        # pre-shaping to the visual glyph string would be re-reversed by
+        # raqm's BiDi pass, burning logical-order pixels (observed e2e:
+        # the engine's visual_to_logical then *introduced* the reversal,
+        # ar F1 0.0). Only the raqm-less fallback pre-shapes by hand,
+        # mirroring the training renderer (vse_tpu/train/synth.py).
+        arabic_preshape = not features.check("raqm")
         cm = {chr(c) for c in TTFont(
             _font(font_size).path, lazy=True).getBestCmap()}
     stroke = None
@@ -137,7 +145,7 @@ def make_video(path, script, w=960, h=540, fps=25.0, font_size=30,
                         stroke_fill=(0, 0, 0, 255),
                     )
                     continue
-                if arabic:
+                if arabic and arabic_preshape:
                     line, _ = render_forms(line, cm)
                 bbox = rdraw.textbbox((0, 0), line, font=font, stroke_width=2)
                 tw = bbox[2] - bbox[0]
