@@ -195,13 +195,15 @@ class TextRenderer:
         self._pseudo_share = (
             0.0 if all(ord(c) < 128 for c in self.alphabet) else 0.25
         )
-        non_ascii = sum(1 for c in self.alphabet if ord(c) >= 128)
-        if non_ascii > len(self.alphabet) / 2:
-            # native-script-majority heads (el, cyrillic): their dicts
-            # carry ascii too, so `_ascii_words` holds — but a 75%-English
-            # diet leaves the native glyphs undertrained and the held-out
-            # gate measuring mostly English. Observed e2e: el read Greek
-            # with Latin homoglyphs (τ→t) at CER 0.61 while gating at 0.04.
+        if charset.name in ("el", "cyrillic"):
+            # native-script-majority heads: their dicts carry ascii too, so
+            # `_ascii_words` holds — but a 75%-English diet leaves the
+            # native glyphs undertrained and the held-out gate measuring
+            # mostly English. Observed e2e: el read Greek with Latin
+            # homoglyphs (τ→t) at CER 0.61 while gating at 0.04. Explicitly
+            # NOT latin: its alphabet is accent-majority but its real-world
+            # text is European-language words, so the English-word diet
+            # stays at 75% there (ADVICE r4 #2).
             self._pseudo_share = 0.75
         if self._hangul:
             # the korean dict contains ascii too, but the head's job is
