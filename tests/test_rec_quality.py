@@ -32,6 +32,11 @@ FAMILY_GATES = {
     "devanagari": (0.05, 0.5),
     "ta": (0.05, 0.5),
     "te": (0.05, 0.5),
+    # CJK composed-core heads (r5): CER over the renderable composed set;
+    # exact-match bar lower — lines are long and dense
+    "ch": (0.05, 0.5),
+    "japan": (0.05, 0.5),
+    "chinese_cht": (0.05, 0.5),
 }
 
 

@@ -272,13 +272,36 @@ def main():
     except (OSError, ValueError):
         pass
     if prior is not None:
+        # carry forward prior notes so a partial run doesn't erase the
+        # provenance of sections it did not recompute (ADVICE r4 #1)
+        for n in prior.get("notes", []):
+            # per-invocation bookkeeping notes don't compound across runs
+            if n not in notes and not n.startswith("modes kept from"):
+                notes.append(n)
         if not args.modes:
             for k in ("corpus", "script_lines", "modes",
                       "keyframe_vs_accurate"):
                 if k in prior:
                     report[k] = prior[k]
-        if not args.lang_variants and "language_variants" in prior:
-            report["language_variants"] = prior["language_variants"]
+        else:
+            # per-mode merge: keep prior rows for modes NOT run this
+            # invocation (ADVICE r4 #3); keyframe_vs_accurate is kept
+            # unless both fast+accurate are recomputed below
+            kept = [r for r in prior.get("modes", [])
+                    if r.get("mode") not in args.modes]
+            if kept:
+                report["modes"] = kept
+                notes.append("modes kept from prior run: "
+                             + ",".join(r.get("mode", "?") for r in kept))
+            if not {"fast", "accurate"} <= set(args.modes) \
+                    and "keyframe_vs_accurate" in prior:
+                report["keyframe_vs_accurate"] = prior["keyframe_vs_accurate"]
+        if "language_variants" in prior:
+            # per-language merge: a `--lang-variants ru el` run refreshes
+            # only those languages' rows (ADVICE r4 #1)
+            report["language_variants"] = [
+                r for r in prior["language_variants"]
+                if r.get("language") not in (args.lang_variants or [])]
     per_mode_results: dict = {}
     for mode in args.modes:
         row = drive_stage(f"mode_{mode}", args, notes)
@@ -309,11 +332,15 @@ def main():
                           report["keyframe_vs_accurate"]["scanner_recall"]}))
 
     if args.lang_variants:
-        rows = []
+        rows = report.get("language_variants", [])
         for lang in args.lang_variants:
             row = drive_stage(f"lang_{lang}", args, notes)
             if row is not None:
                 rows.append(row)
+            else:
+                notes.append(f"lang_{lang}: stage failed — prior row (if "
+                             "any) dropped as stale")
+        rows.sort(key=lambda r: r.get("language", ""))
         report["language_variants"] = rows
 
     with open(args.out, "w", encoding="utf-8") as f:
