@@ -34,36 +34,66 @@ def cer(ref: str, hyp: str) -> float:
     return Levenshtein.distance(ref, hyp) / len(ref)
 
 
-def _prod_geometry(imgs: "np.ndarray", expand_y: float = 0.45) -> "np.ndarray":
-    """Deterministic production crop geometry: the engine's rec crops pass
-    through rec_crop_expand_y (vse_tpu/core/config.py), so glyphs occupy
-    1/(1+2*expand_y) of the 48-px height with edge-replicated margins, AND
-    short lines aspect-fit into the 320-px window with a hard black right
-    pad (ops/image.py crop_axis_aligned_matmul zero-pads beyond target_w).
-    Renders are born full-height/full-width; evaluating without these
-    transforms over-reports real-pipeline quality (r3: full-height CER 0.0
-    read 'hello world' as 'xemuwnd' through the real path; r4: full-width
-    CER 0.0 measured 0.26 under the black pad)."""
+def _ink_band(img: "np.ndarray") -> tuple:
+    """(first, last) ink rows of a render — the same 12%-of-range row
+    gradient-energy rule as the deployed tighten pass
+    (vse_tpu/ops/image.py ink_rows)."""
+    g = img.mean(axis=-1)
+    e = np.abs(np.diff(g, axis=1)).mean(axis=1)
+    lo, hi = e.min(), e.max()
+    mask = (e - lo) > 0.12 * (hi - lo)
+    ys = np.nonzero(mask)[0]
+    if len(ys) == 0 or ys[-1] - ys[0] < 3:
+        return 0, img.shape[0] - 1
+    return int(ys[0]), int(ys[-1])
+
+
+def _prod_geometry(imgs: "np.ndarray", margin: float = 0.07) -> "np.ndarray":
+    """Deterministic production crop geometry under the ink-tight re-crop
+    (vse_tpu/ops/image.py refine_boxes_ink + crop_axis_aligned_matmul):
+    the engine crops the frame to each line's measured ink band + margin
+    and uniform-scales it into the 48x320 window with a hard black right
+    pad. Emulated here by measuring the render's own ink band, resampling
+    [ink - pad, ink + pad] onto the full height (edge rows replicate), and
+    applying the SAME scale factor in x (clamped to <= 1 — renders are
+    width-trimmed, an x upscale would clip glyphs) with black beyond the
+    scaled content. Evaluating raw renders over-reports real-pipeline
+    quality (r3: full-height CER 0.0 read 'hello world' as 'xemuwnd'
+    through the real path; r4: full-width CER 0.0 measured 0.26 under the
+    black pad); evaluating the old 0.45-expansion squeeze floors
+    dot-diacritic scripts at CER ~0.2 regardless of training (r5)."""
     import cv2
 
     h, w = imgs.shape[1], imgs.shape[2]
-    nh = max(8, int(round(h / (1.0 + 2.0 * expand_y))))
-    y0 = (h - nh) // 2
     rng = np.random.default_rng(424242)
     out = np.empty_like(imgs)
     for k in range(imgs.shape[0]):
-        small = cv2.resize(imgs[k], (w, nh), interpolation=cv2.INTER_LINEAR)
-        out[k, :y0] = small[0]
-        out[k, y0:y0 + nh] = small
-        out[k, y0 + nh:] = small[-1]
-        if rng.random() < 0.6:  # deterministic seed: stable gate numbers
-            # uniform-scale short line: x shrinks by the SAME factor as y
-            # (natural glyph aspect), black pad beyond
-            fit = int(w * (nh / h) * rng.uniform(0.9, 1.1))
-            fitted = cv2.resize(out[k], (fit, h),
-                                interpolation=cv2.INTER_LINEAR)
-            out[k, :, :fit] = fitted
-            out[k, :, fit:] = 0
+        y0, y1 = _ink_band(imgs[k])
+        ink = y1 - y0 + 1
+        pad = margin * ink + 1.5
+        a, b = y0 - pad, y1 + 1 + pad
+        span = b - a
+        # edge-replicated vertical resample of [a, b) onto [0, h)
+        src = np.clip((np.arange(h) + 0.5) * span / h + a - 0.5, 0, h - 1)
+        i0 = np.floor(src).astype(np.int32)
+        i1 = np.minimum(i0 + 1, h - 1)
+        fr = (src - i0)[:, None, None].astype(np.float32)
+        res = imgs[k][i0] * (1 - fr) + imgs[k][i1] * fr
+        # coupled x scale: production preserves glyph aspect (same factor
+        # both axes) by scaling the CONTENT — measure the render's ink
+        # columns so an upscale never clips glyphs, black beyond (the
+        # crop op's zero pad)
+        gc = imgs[k].mean(axis=-1)
+        ec = np.abs(np.diff(gc, axis=0)).mean(axis=0)
+        lo, hi = ec.min(), ec.max()
+        cols = np.nonzero((ec - lo) > 0.12 * (hi - lo))[0]
+        cw = min(w, (int(cols[-1]) if len(cols) else w - 1) + 5)
+        s = (h / span) * rng.uniform(0.95, 1.05)
+        fit = int(round(min(w, max(24, cw * s))))
+        fitted = cv2.resize(res[:, :cw].astype(np.float32), (fit, h),
+                            interpolation=cv2.INTER_LINEAR)
+        out[k, :, :fit] = fitted.astype(imgs.dtype)
+        out[k, :, fit:] = 0
     return out
 
 

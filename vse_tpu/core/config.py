@@ -142,6 +142,19 @@ class VseConfig:
     # reported det boxes stay reference-parity. Set 0 for converted
     # PaddleOCR rec heads.
     rec_crop_expand_y: float = 0.45
+    # Ink-tight rec re-crop: sample a provisional crop from the expanded
+    # box, measure its vertical ink band (row gradient energy,
+    # ops/image.py ink_rows), and re-crop the frame to ink + margin. The
+    # generous expand_y above guarantees nothing is clipped; the tighten
+    # pass recovers the glyph resolution the margins cost — without it
+    # glyphs land at ~19 of 48 px and dot-diacritic scripts
+    # (arabic/thai/devanagari/tamil/telugu) are unreadable by construction
+    # (r5 measured: ar trained+evaled at that geometry floors at CER 0.21;
+    # tight geometry targets ~40 px glyphs). Heads record their crop
+    # geometry in vse_meta.json ("geometry": "tight1"); pre-tighten
+    # checkpoints must retrain.
+    rec_crop_tighten: bool = True
+    rec_crop_tight_margin: float = 0.07
     # Detection input size bucket (H, W) — frames are letterboxed to this.
     # Mirrors PaddleOCR's det_limit_side_len=960 used by the reference: a
     # 1080p frame det-scans at 960x540 (padded to 960x576).

@@ -38,7 +38,28 @@ from vse_tpu.ops.image import (
     letterbox_matmul,
     normalize_det,
     normalize_rec,
+    refine_boxes_ink,
 )
+
+
+def _crops_tight(frame, fboxes, rec_h, rec_w, cfg, frame_h, windowed=True):
+    """Rec crops for one frame with the ink-tight two-pass policy: sample a
+    provisional crop from the (expand_y-inflated) boxes, measure each
+    crop's vertical ink band, re-crop the frame to ink + margin
+    (ops/image.py refine_boxes_ink). Both passes are the separable-matmul
+    crop, so the cost is ~2x one crop — small against the CRNN forward —
+    and the final crop resamples ORIGINAL frame pixels."""
+    crop = (
+        crop_axis_aligned_matmul_windowed if windowed
+        else crop_axis_aligned_matmul
+    )
+    crops0 = jax.vmap(lambda b: crop(frame, b, rec_h, rec_w))(fboxes)
+    if not cfg.rec_crop_tighten:
+        return crops0
+    refined = refine_boxes_ink(
+        crops0, fboxes, cfg.rec_crop_tight_margin, frame_h
+    )
+    return jax.vmap(lambda b: crop(frame, b, rec_h, rec_w))(refined)
 
 
 def y_round(y: int) -> int:
@@ -164,6 +185,20 @@ class OcrEngine:
                 from vse_tpu.core.arabic import HOMOGLYPHS
 
                 self.charset = self.charset.aliased(HOMOGLYPHS)
+            head_geo = rec_meta.get("geometry", "expand_y")
+            want_geo = (
+                "tight1" if self.config.rec_crop_tighten else "expand_y"
+            )
+            if head_geo != want_geo:
+                import warnings
+
+                warnings.warn(
+                    f"rec checkpoint {self.rec_ckpt} was trained for crop "
+                    f"geometry {head_geo!r} but the engine runs {want_geo!r} "
+                    "(config.rec_crop_tighten) — recognition quality will "
+                    "degrade; retrain the head or match the config.",
+                    stacklevel=2,
+                )
         self.rec_model = CRNNRecognizer(
             vocab_size=self.charset.vocab_size, variant=self.rec_variant
         )
@@ -364,11 +399,9 @@ class OcrEngine:
                         # 128 frames of f32 bands cost ~6.8 GB HBM traffic,
                         # measured 23 ms of the fused program) and the crop
                         # matmuls run bf16 on the MXU
-                        return jax.vmap(
-                            lambda b: crop_axis_aligned_matmul_windowed(
-                                frame, b, self.rec_h, self.rec_w
-                            )
-                        )(fboxes)
+                        return _crops_tight(
+                            frame, fboxes, self.rec_h, self.rec_w, cfg, h
+                        )
 
                     crops = jax.vmap(per_frame)(frames_u8, crop_boxes)
                 B, K = crops.shape[0], crops.shape[1]
@@ -410,12 +443,10 @@ class OcrEngine:
 
                 def per_frame(frame, fboxes):
                     f = frame.astype(jnp.float32)
-                    crops = jax.vmap(
-                        lambda b: crop_axis_aligned_matmul(
-                            f, b, self.rec_h, self.rec_w
-                        )
-                    )(fboxes)
-                    return crops
+                    return _crops_tight(
+                        f, fboxes, self.rec_h, self.rec_w, self.config, h,
+                        windowed=False,
+                    )
 
                 crops = jax.vmap(per_frame)(frames_u8, boxes)  # [B,K,h,w,3]
                 B, K = crops.shape[0], crops.shape[1]
@@ -446,11 +477,10 @@ class OcrEngine:
 
                 def per_frame(frame, fboxes):
                     f = frame.astype(jnp.float32)
-                    return jax.vmap(
-                        lambda b: crop_axis_aligned_matmul(
-                            f, b, self.rec_h, self.rec_w
-                        )
-                    )(fboxes)
+                    return _crops_tight(
+                        f, fboxes, self.rec_h, self.rec_w, self.config, h,
+                        windowed=False,
+                    )
 
                 crops = jax.vmap(per_frame)(frames_u8, boxes)
                 B, K = crops.shape[0], crops.shape[1]

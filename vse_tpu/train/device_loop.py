@@ -81,10 +81,46 @@ def crop_expand_matrix(n: int, nh, y_off) -> jnp.ndarray:
     return place @ down
 
 
+def interval_resize_matrix(h: int, a, b) -> jnp.ndarray:
+    """[h, h] operator resampling source rows [a, b) onto [0, h) with
+    bilinear taps and edge-clamped reads (`a`/`b` may be traced, b > a).
+    Upscaling (b - a < h) is safe in y: rows outside the canvas replicate
+    the background edge."""
+    d = jnp.arange(h, dtype=jnp.float32)[:, None]
+    j = jnp.arange(h, dtype=jnp.float32)[None, :]
+    src = a + (d + 0.5) * (b - a) / h - 0.5
+    j0 = jnp.floor(src)
+    frac = src - j0
+    j0c = jnp.clip(j0, 0.0, h - 1.0)
+    j1c = jnp.clip(j0 + 1.0, 0.0, h - 1.0)
+    return (j == j0c) * (1.0 - frac) + (j == j1c) * frac
+
+
+def ink_rows_batch(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample vertical ink extent [B] (same 12%-of-range row
+    gradient-energy rule as ops/image.py ink_rows — the production
+    tighten pass this augmentation mirrors)."""
+    h = x.shape[1]
+    g = jnp.mean(x, axis=-1)  # [B, h, w]
+    e = jnp.mean(jnp.abs(g[:, :, 1:] - g[:, :, :-1]), axis=2)  # [B, h]
+    lo = jnp.min(e, axis=1, keepdims=True)
+    rng = jnp.max(e, axis=1, keepdims=True) - lo
+    mask = (e - lo) > 0.12 * rng
+    idx = jnp.arange(h)[None, :]
+    y0 = jnp.min(jnp.where(mask, idx, h), axis=1)
+    y1 = jnp.max(jnp.where(mask, idx, -1), axis=1)
+    ok = (y1 - y0 >= 3)
+    y0 = jnp.where(ok, y0, 0)
+    y1 = jnp.where(ok, y1, h - 1)
+    return y0.astype(jnp.float32), y1.astype(jnp.float32)
+
+
 def make_rec_augment(h: int, w: int) -> Callable:
-    """jit-able augmentation with the same distribution as the host
-    pipeline (pretrain._augment): photometric jitter + noise + horizontal
-    shift + (p=.5) resample chain + (p=.5) crop-expansion geometry."""
+    """jit-able augmentation with the same distribution as the deployed
+    crop path: photometric jitter + noise + horizontal shift + (p=.5)
+    resample chain (det-crop upscale blur) + ink-anchored re-crop geometry
+    (the production ink-tight two-pass crop, ops/image.py refine_boxes_ink)
+    + coupled aspect-fit with black right pad."""
 
     def augment(rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
         # x: [B, h, w, 3] float32 in [0, 255]
@@ -119,53 +155,68 @@ def make_rec_augment(h: int, w: int) -> Callable:
         resampled = jnp.einsum("ik,bkwc->biwc", my, x)
         resampled = jnp.einsum("jw,bhwc->bhjc", mx, resampled)
         x = jnp.where(jax.random.uniform(ks[8], ()) < 0.5, resampled, x)
-        # crop-expansion geometry (p=.85): glyphs squeezed with
-        # edge-replicated margins, matching the deployed crop path. The
-        # production squeeze lands glyphs at ~40-55% of the 48-px window
-        # (measured: det box ~1.35x glyph height, then rec_crop_expand_y
-        # 0.45/side -> glyph/crop ~ 1/(1.35*1.9)); concentrate 70% of
-        # draws in that band with near-centered offsets (the expansion is
-        # symmetric), 30% milder for robustness. A p=.5 aug whose band
-        # only grazed the deployed point left eval-prod CER at 0.17 while
-        # full-height CER was 0.008 (r3).
-        in_band = jax.random.uniform(ks[9], ()) < 0.7
-        g_band = jax.random.uniform(ks[14], (), minval=0.40, maxval=0.58)
-        g_mild = jax.random.uniform(ks[15], (), minval=0.58, maxval=0.85)
-        gy = jnp.where(in_band, g_band, g_mild)
-        nh = jnp.maximum(12, (h * gy).astype(jnp.int32))
-        margin = h - nh
-        jitter = jax.random.uniform(ks[10], (), minval=-0.25, maxval=0.25)
-        y_center = jnp.round(margin / 2.0 + jitter * margin).astype(jnp.int32)
-        y_rand = jax.random.randint(ks[16], (), 0, h + 1)
-        y_off = jnp.where(in_band, y_center, jnp.minimum(y_rand, margin))
-        y_off = jnp.clip(y_off, 0, margin)
-        mg = crop_expand_matrix(h, nh, y_off)
-        expanded = jnp.einsum("ik,bkwc->biwc", mg, x)
-        did_expand = jax.random.uniform(ks[17], ()) < 0.85
-        x = jnp.where(did_expand, expanded, x)
-        # aspect-fit + BLACK right pad (p=.6): the production crop op
+        # ink-anchored re-crop geometry: production crops are tightened to
+        # the measured ink band + margin (ops/image.py refine_boxes_ink
+        # with rec_crop_tight_margin 0.07 -> ink fills ~78-86% of the 48-px
+        # window). Measure each sample's ink rows and resample the interval
+        # [ink - pad, ink + pad] onto the full window: 80% of draws target
+        # the deployed band (ink fraction ~U[.74,.90], centered +- jitter),
+        # 20% a harder tail U[.48,.74] for crops where the tighten pass
+        # falls back (low contrast) and the raw expand_y margins survive.
+        y0, y1 = ink_rows_batch(x)
+        ink = y1 - y0 + 1.0
+        in_band = jax.random.uniform(ks[9], (x.shape[0],)) < 0.8
+        f_band = jax.random.uniform(ks[14], (x.shape[0],),
+                                    minval=0.74, maxval=0.90)
+        f_tail = jax.random.uniform(ks[15], (x.shape[0],),
+                                    minval=0.48, maxval=0.74)
+        f = jnp.where(in_band, f_band, f_tail)
+        span = ink / f                       # source rows mapped to h
+        cjit = jax.random.uniform(ks[10], (x.shape[0],),
+                                  minval=-0.08, maxval=0.08)
+        cy = (y0 + y1 + 1.0) / 2.0 + cjit * span
+        a = cy - span / 2.0
+        b = cy + span / 2.0
+        mg = jax.vmap(lambda aa, bb: interval_resize_matrix(h, aa, bb))(a, b)
+        x = jnp.einsum("bik,bkwc->biwc", mg, x)
+        # aspect-fit + BLACK right pad: the production crop op
         # (ops/image.py crop_axis_aligned_matmul) uniform-scales the
-        # expanded box into the 320-px window and ZERO-pads beyond
-        # target_w, so any line narrower than ~6.7x its height reaches the
-        # head at the SAME scale factor in x as in y, squashed-left against
-        # a hard black edge (measured on a real corpus crop: glyphs ~17 px,
-        # content to x=125/320, pad black; a head never trained on this
-        # read CER 0.26 where full-width CER was 0.0). The fit factor is
-        # therefore COUPLED to the applied y-squeeze (near-natural glyph
-        # aspect), with an occasional extra narrowing for long-line
-        # compression — deployment never widens glyphs.
+        # refined box into the 320-px window and ZERO-pads beyond
+        # target_w, so glyphs reach the head at the SAME scale factor in x
+        # as in y against a hard black right edge (a head never trained on
+        # the pad read CER 0.26 where full-width CER was 0.0, r4). The fit
+        # factor is COUPLED to the applied y-scale h/span and applied to
+        # the measured ink-column CONTENT (so an upscale never pushes
+        # glyphs past the window), with occasional extra narrowing for the
+        # long-line compression case.
         ks2 = jax.random.split(ks[11], 4)
-        gy_eff = jnp.where(did_expand, gy, 1.0)
-        aspect = jax.random.uniform(ks2[0], (), minval=0.9, maxval=1.1)
+        gc = jnp.mean(x, axis=-1)
+        ec = jnp.mean(jnp.abs(gc[:, 1:, :] - gc[:, :-1, :]), axis=1)  # [B,w]
+        loc = jnp.min(ec, axis=1, keepdims=True)
+        rngc = jnp.max(ec, axis=1, keepdims=True) - loc
+        maskc = (ec - loc) > 0.12 * rngc
+        idxc = jnp.arange(w)[None, :]
+        x1c = jnp.max(jnp.where(maskc, idxc, -1), axis=1).astype(jnp.float32)
+        cw = jnp.clip(x1c + 5.0, 24.0, jnp.float32(w))
+        aspect = jax.random.uniform(ks2[0], (x.shape[0],),
+                                    minval=0.9, maxval=1.1)
         narrow = jnp.where(
-            jax.random.uniform(ks2[2], ()) < 0.25,
-            jax.random.uniform(ks2[3], (), minval=0.6, maxval=1.0), 1.0,
+            jax.random.uniform(ks2[2], (x.shape[0],)) < 0.25,
+            jax.random.uniform(ks2[3], (x.shape[0],), minval=0.6, maxval=1.0),
+            1.0,
         )
-        fit = jnp.clip(gy_eff * aspect * narrow, 0.2, 1.0)
-        dw2 = jnp.maximum(24, (w * fit).astype(jnp.int32))
-        m_fit = _bilinear_weights(w, w, dw2, w)  # rows >= dw2 are zero
-        fitted = jnp.einsum("jw,bhwc->bhjc", m_fit, x)
-        x = jnp.where(jax.random.uniform(ks2[1], ()) < 0.6, fitted, x)
+        s_fit = h / span * aspect * narrow
+        dw2 = jnp.clip(cw * s_fit, 24.0, jnp.float32(w))
+        # per-sample content fit ([w, w]: active src cols cw -> active dst
+        # cols dw2, zero beyond = the black pad), batched like the y
+        # interval resample
+        m_fit = jax.vmap(
+            lambda dd, ss: _bilinear_weights(w, w, dd, ss)
+        )(dw2, cw)
+        fitted = jnp.einsum("bjw,bhwc->bhjc", m_fit, x)
+        do_fit = (jax.random.uniform(ks2[1], (x.shape[0],))
+                  < 0.9)[:, None, None, None]
+        x = jnp.where(do_fit, fitted, x)
         return x
 
     return augment

@@ -32,7 +32,7 @@ from vse_tpu.models.crnn import CRNNRecognizer
 from vse_tpu.models.db_detector import DBDetector
 from vse_tpu.ops.ctc import ctc_greedy_decode, decode_batch_to_texts
 from vse_tpu.train.losses import ctc_rec_loss, db_loss
-from vse_tpu.train.synth import SynthConfig, TextRenderer
+from vse_tpu.train.synth import SynthConfig, TextRenderer, rec_render_config
 
 
 def _prefetch(make_batch, depth=8, workers=6):
@@ -83,17 +83,14 @@ def load_or_render_rec_dataset(language: str, pregen: int, batch: int,
     """Disk-cached rendered rec dataset (host-only — safe to run while the
     TPU is busy; `python -m vse_tpu.train.pretrain render ...`)."""
     charset = _rec_train_charset(language, use_space, fold_case)
-    cfg = SynthConfig(words_only=True, fixed_stroke=2)
-    # bump when the renderer's text DISTRIBUTION changes (arabic core-letter
-    # weighting; stroke-script storage order + common-mark weighting):
-    # cached texts would silently keep the old one
-    gen = ""
-    if language in ("ar", "arabic"):
-        gen = "g2"
-    elif script_family(language) in ("th", "devanagari", "ta", "te"):
-        gen = "g3"  # g3: core-base weighting on top of the g2 mark fixes
-    elif script_family(language) in ("el", "cyrillic"):
-        gen = "g4"  # g4: native-script-majority text share (el homoglyphs)
+    cfg = rec_render_config()
+    # bump when the renderer's output changes (text distribution OR draw
+    # profile): cached datasets would silently keep the old one.
+    # g6 (all families): near-full-height fonts matching the ink-tight crop
+    # geometry (ops/image.py refine_boxes_ink) + native wordlists for 9
+    # script families (train/wordlists.py) — soup-trained dot-diacritic
+    # heads floored at CER ~0.2-0.5 regardless of steps (r4/r5).
+    gen = "g6"
     ds_path = (
         f"/tmp/vse_rec_ds_{language}_{pregen}x{batch}"
         f"_w{int(cfg.words_only)}s{cfg.fixed_stroke}{gen}.npz"
@@ -157,10 +154,20 @@ def load_or_render_det_dataset(pregen: int, det_h: int = 256,
 def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
               variant: str = "mobile", log_every: int = 50,
               pregen: int = 0, use_space: bool = False,
-              fold_case: bool = True, device_data: bool = True) -> str:
+              fold_case: bool = True, device_data: bool = True,
+              fresh: bool = False, fresh_opt: bool = False) -> str:
     """`pregen` > 0: render that many batches up front (curriculum-ordered
     clean->hard) and epoch over them — host PIL rendering is GIL-bound and
     otherwise starves the TPU (~4.5 s/step live vs ~50 ms cached).
+
+    `fresh=True`: ignore an existing checkpoint and train from scratch
+    (the r5 retrain campaign: stale pre-geometry checkpoints must not seed
+    the run). `fresh_opt=True`: warm-start params from the checkpoint but
+    re-initialize the optimizer with a full warmup+cosine schedule over the
+    REMAINING steps — plain resume restores the adam step count, so an
+    extension past the original cosine target trains at the ~0-LR tail and
+    learns nothing (measured r5: cyrillic +40k extension steps moved CER
+    0.33 -> 0.27 while a from-scratch 40k run under the same data passes).
 
     `use_space=False` (default): drop the space class — a gap-supervised
     space blocks CTC convergence from scratch (measured: spaced-label overfit
@@ -168,8 +175,9 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     reformat re-splits at output time. The choice is recorded in the
     checkpoint's vse_meta.json so the engine builds the matching charset."""
     charset = _rec_train_charset(language, use_space, fold_case)
-    # subtitle-domain profile: real words with burned-in outlines
-    cfg = SynthConfig(words_only=True, fixed_stroke=2)
+    # subtitle-domain profile: real words with burned-in outlines,
+    # near-full-height fonts (see rec_render_config)
+    cfg = rec_render_config()
     from vse_tpu.core.charset import JamoCharset
 
     is_jamo = isinstance(charset, JamoCharset)
@@ -195,11 +203,25 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         jax.random.PRNGKey(seed), jnp.zeros((1, cfg.rec_h, cfg.rec_w, 3)),
         train=True,
     )
+    from vse_tpu.core.registry import load_meta, rec_ckpt_path
+
+    path = rec_ckpt_path(language, variant)
+    # peek the resume point BEFORE building the optimizer: fresh_opt
+    # schedules over the REMAINING steps (see docstring)
+    prior_step = 0
+    if not fresh and os.path.isdir(path):
+        pm = load_meta(path)
+        if pm and pm.get("vocab_size") == charset.vocab_size:
+            prior_step = int(pm.get("step", 0))
+    sched_steps = max(1, steps - prior_step) if fresh_opt else steps
+    warmup = 200 if (fresh_opt and prior_step) else 100
     # global-norm clipping: unclipped adam on hard CTC batches blows up
     # mid-run (observed at ~step 3700: loss 1.3 -> 35, blank re-collapse)
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adam(optax.warmup_cosine_decay_schedule(0, lr, 100, steps)),
+        optax.adam(
+            optax.warmup_cosine_decay_schedule(0, lr, warmup, sched_steps)
+        ),
     )
     opt_state = tx.init(variables["params"])
     # difficulty curriculum: clean text first, full augmentation by mid-run
@@ -248,9 +270,6 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     eval_fn = jax.jit(
         lambda p, bs, x: rec.apply({"params": p, "batch_stats": bs}, x)
     )
-    from vse_tpu.core.registry import rec_ckpt_path
-
-    path = rec_ckpt_path(language, variant)
     meta = {
         "language": language,
         "use_space_char": charset.use_space_char,
@@ -259,6 +278,9 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         "variant": variant,
         "jamo": is_jamo,
         "homoglyph_fold": bool(charset.aliases),
+        # the crop geometry this head was trained for (the engine warns on
+        # mismatch): tight1 = ink-tight re-crop, ops/image.py refine_boxes_ink
+        "geometry": "tight1",
     }
 
     from vse_tpu.core.registry import opt_path
@@ -276,20 +298,19 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     # resume: pick up params/opt state from a prior periodic checkpoint of
     # the same run shape (wall-clock-killed runs otherwise restart cold)
     start_step = 0
-    if os.path.isdir(path):
-        prior_meta = None
-        from vse_tpu.core.registry import load_meta, load_params
+    if prior_step > 0:
+        from vse_tpu.core.registry import load_params
 
-        prior_meta = load_meta(path)
-        if prior_meta and prior_meta.get("vocab_size") == charset.vocab_size:
-            try:
-                restored = load_params(
-                    path, like={"params": params, "batch_stats": batch_stats}
-                )
-                params = restored["params"]
-                batch_stats = restored["batch_stats"]
-                start_step = int(prior_meta.get("step", 0))
-                print(f"resuming {path} from step {start_step}")
+        try:
+            restored = load_params(
+                path, like={"params": params, "batch_stats": batch_stats}
+            )
+            params = restored["params"]
+            batch_stats = restored["batch_stats"]
+            start_step = prior_step
+            print(f"resuming {path} from step {start_step}"
+                  + (" (fresh optimizer)" if fresh_opt else ""))
+            if not fresh_opt:
                 from vse_tpu.core.registry import find_opt_sidecar
 
                 opt_side = find_opt_sidecar(path)
@@ -297,8 +318,8 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
                 if opt_meta and int(opt_meta.get("step", -1)) == start_step:
                     opt_state = load_params(opt_side, like=opt_state)
                     print("restored optimizer state (adam moments + schedule)")
-            except Exception as e:
-                print(f"resume failed ({e}); training from scratch")
+        except Exception as e:
+            print(f"resume failed ({e}); training from scratch")
 
     if start_step >= steps:
         # resume point is already past the requested run — never rewrite a
@@ -652,6 +673,11 @@ def main():
     pr.add_argument("--host-data", action="store_true", dest="host_data",
                     help="feed batches from the host thread instead of the "
                          "device-resident loop (debug fallback)")
+    pr.add_argument("--fresh", action="store_true",
+                    help="ignore an existing checkpoint; train from scratch")
+    pr.add_argument("--fresh-opt", action="store_true", dest="fresh_opt",
+                    help="warm-start params but re-init the optimizer with "
+                         "a full LR schedule over the remaining steps")
     pren = sub.add_parser("render", help="host-only dataset pre-render")
     pren.add_argument("--language", default="en")
     pren.add_argument("--pregen", type=int, default=600)
@@ -678,7 +704,8 @@ def main():
     if args.what == "rec":
         train_rec(args.language, args.steps, args.batch, args.lr, args.seed,
                   args.variant, pregen=args.pregen, use_space=args.use_space,
-                  device_data=not args.host_data)
+                  device_data=not args.host_data, fresh=args.fresh,
+                  fresh_opt=args.fresh_opt)
     else:
         train_det(args.steps, args.batch, args.lr, args.seed, args.variant,
                   pregen=args.pregen)

@@ -50,6 +50,18 @@ class SynthConfig:
     fixed_stroke: int = -1
 
 
+def rec_render_config(difficulty: float = 1.0) -> SynthConfig:
+    """The canonical rec-crop render profile shared by training dataset
+    generation (train/pretrain.py) and the held-out gate (tools/eval_rec.py):
+    subtitle-register words, burned-in outlines, near-full-height fonts.
+    Fonts fill most of the 48-px canvas because the deployed crop path is
+    ink-tight (ops/image.py refine_boxes_ink): production glyphs arrive at
+    ~80% of the window, and renders born at 45-65% fill (the old 22-32
+    fonts) would make every aug upscale y by ~1.5x."""
+    return SynthConfig(words_only=True, fixed_stroke=2,
+                       min_font=32, max_font=42, difficulty=difficulty)
+
+
 def font_covered_chars(font_paths: Sequence[str], chars: Sequence[str]):
     """Subset of `chars` every font in `font_paths` has real glyphs for
     (exact cmap lookup via fontTools — bitmap heuristics mistake tofu boxes
@@ -195,6 +207,11 @@ class TextRenderer:
         self._pseudo_share = (
             0.0 if all(ord(c) < 128 for c in self.alphabet) else 0.25
         )
+        from vse_tpu.train.wordlists import NATIVE_WORDS
+
+        self._native_words: List[str] = []
+        self._native_core: List[str] = []
+        self._native_pool: List[str] = []
         if charset.name in ("el", "cyrillic"):
             # native-script-majority heads: their dicts carry ascii too, so
             # `_ascii_words` holds — but a 75%-English diet leaves the
@@ -205,6 +222,59 @@ class TextRenderer:
             # text is European-language words, so the English-word diet
             # stays at 75% there (ADVICE r4 #2).
             self._pseudo_share = 0.75
+            # …but the native share must be WORDS, not uniform char-soup:
+            # these dicts contain pixel-identical cross-script homoglyphs
+            # (х/x, о/o, с/c; ο/o) plus rare archaic letters and standalone
+            # combining marks, so soup has an irreducible CER floor far
+            # above the 0.05 gate (r5 measured: cyrillic plateaued at 0.27
+            # with probe-exact 0/4 ON ITS OWN TRAINING BATCHES). Real words
+            # in a single script per word give the BiLSTM the script-
+            # consistency prior that actually disambiguates homoglyphs —
+            # the synthetic stand-in for the real-text corpora the
+            # reference's heads are trained on.
+            import unicodedata
+
+            renderable = set(self.alphabet)
+            self._native_words = [
+                w for w in NATIVE_WORDS[charset.name]
+                if all(c in renderable for c in w)
+                and len(charset.encode(w)) == len(w)
+            ]
+            # soup pools exclude standalone combining marks (PIL stacks
+            # them on the previous glyph — same exclusion arabic applies)
+            self._native_pool = [
+                c for c in self.alphabet
+                if unicodedata.category(c) != "Mn"
+            ]
+            core = set(
+                "άέήίόύώςϊϋΐΰ" if charset.name == "el"
+                else "ёіїєґўјђћљњџ"
+            )
+            lo, hi = (
+                (0x03B1, 0x03C9) if charset.name == "el"
+                else (0x0430, 0x044F)
+            )
+            self._native_core = [
+                c for c in self._native_pool
+                if lo <= ord(c) <= hi or c in core
+            ] or self._native_pool
+        elif charset.name in NATIVE_WORDS:
+            # r5: every scripted family gets a real-word majority — uniform
+            # soup over dot-diacritic alphabets (ت/ث/ٿ, ि/ी matras, thai
+            # tone stacks) has an irreducible CER floor at crop resolution
+            # (ar trained from scratch on core-weighted soup still gated at
+            # 0.21); word-sequence priors are what the reference's heads
+            # get from their real-text corpora. Renders keep the script's
+            # own composer/shaper path; words with unrenderable chars drop.
+            renderable = set(self.alphabet)
+            self._native_words = [
+                w for w in NATIVE_WORDS[charset.name]
+                if all(c in renderable for c in w) and charset.encode(w)
+            ]
+        if self._native_words and charset.name not in ("latin",):
+            # native-script majority (latin stays English-majority: its
+            # real-world text is European-language words, ADVICE r4 #2)
+            self._pseudo_share = max(self._pseudo_share, 0.75)
         if self._hangul:
             # the korean dict contains ascii too, but the head's job is
             # Hangul — keep English word lines a small minority
@@ -221,8 +291,29 @@ class TextRenderer:
     from vse_tpu.post.wordseg import _COMMON as _WORDS  # noqa: N815
 
     def _pseudo_word(self) -> str:
+        # native share: 60% real words (wordlists.py — the letter-sequence
+        # priors that disambiguate homoglyphs and dot-diacritic families),
+        # else the script's own soup (core-weighted / orthographic) for
+        # full charset class coverage
+        if self._native_words and self.rng.random() < 0.6:
+            w = str(self.rng.choice(self._native_words))
+            if self.rng.random() < 0.2:
+                w = w.capitalize()
+            return w
         if self._stroke is not None and getattr(self, "_stroke_bases", None):
             return self._stroke_word()
+        if self._native_pool:
+            # el/cyrillic: core-weighted single-script soup (90% modern-
+            # letter core, 10% full pool for rare-glyph class coverage)
+            pool = (
+                self._native_core
+                if self.rng.random() < 0.9
+                else self._native_pool
+            )
+            k = int(self.rng.integers(2, 9))
+            return "".join(
+                str(self.rng.choice(pool)) for _ in range(k)
+            ).strip()
         if self._arabic and getattr(self, "_core_arabic", None):
             k = int(self.rng.integers(2, 9))
             return "".join(
@@ -330,10 +421,9 @@ class TextRenderer:
         cfg = self.cfg
         if text is None:
             text = self.random_text()
-        font = ImageFont.truetype(
-            str(self.rng.choice(self.fonts)),
-            int(self.rng.integers(cfg.min_font, cfg.max_font + 1)),
-        )
+        fpath = str(self.rng.choice(self.fonts))
+        fsize = int(self.rng.integers(cfg.min_font, cfg.max_font + 1))
+        font = ImageFont.truetype(fpath, fsize)
         img = Image.fromarray(self._bg(cfg.rec_w, cfg.rec_h))
         draw = ImageDraw.Draw(img)
         x = int(self.rng.integers(2, 12))
@@ -360,8 +450,22 @@ class TextRenderer:
             if self._arabic and getattr(self, "_raqm", False)
             else {}
         )
-        # trim until the rendered text fits the crop width/height
+        # vertical-fit guard: near-full-height fonts (rec_render_config)
+        # can overflow the crop for scripts with tall accent stacks, and
+        # the trim loop below only shrinks text LENGTH — a too-tall font
+        # would trim to the empty-text fallback and draw one clipped glyph
+        # under a full label (poisoned CTC supervision). Scale the FONT to
+        # fit instead.
         glyphs, label = glyphs_and_label(text)
+        for _ in range(2):
+            bbox = draw.textbbox((x, y), glyphs, font=font, stroke_width=2,
+                                 **draw_kw)
+            if bbox[3] <= cfg.rec_h - 1:
+                break
+            fsize = max(10, int(fsize * (cfg.rec_h - 1 - y)
+                                / max(1, bbox[3] - y)))
+            font = ImageFont.truetype(fpath, fsize)
+        # trim until the rendered text fits the crop width/height
         while text:
             glyphs, label = glyphs_and_label(text)
             bbox = draw.textbbox((x, y), glyphs, font=font, stroke_width=2,
