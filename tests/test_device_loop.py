@@ -79,7 +79,11 @@ def test_device_loop_optimizes_linear_model(rng):
     import optax
 
     N, h, w = 64, 8, 16
-    raw = rng.integers(0, 255, size=(N, h, w, 3)).astype(np.uint8)
+    # Bright images keep the normalized batch mean (the probe's gradient
+    # signal, 2(w*m - t)*m) well away from 0 under the augmentation's
+    # photometric jitter; zero-mean noise makes m ~ N(0, .05) and the
+    # 40-step SGD probe stalls by construction.
+    raw = rng.integers(150, 255, size=(N, h, w, 3)).astype(np.uint8)
     labels = rng.integers(0, 5, size=(N, 4)).astype(np.int32)
     lengths = np.full((N,), 4, np.int32)
 
