@@ -203,33 +203,65 @@ def bench_video(engine, seconds_video: int = 20):
     }
 
 
-def bench_multistream(engine, seconds_video: int = 8):
-    """Continuous 2-video batching vs sequential (BASELINE config #5):
-    shared device batches across videos vs one video at a time."""
+def bench_multistream(engine, seconds_video: int = 8, n_videos: int = 3):
+    """Continuous multi-video batching vs the per-video queue (BASELINE
+    config #5). The reference drains a task queue one subprocess per video
+    (reference ui/home_interface.py:320-393): every queued video pays model
+    load + program build before its frames flow. `multistream_speedup`
+    compares shared continuous batching on ONE live engine against that
+    architecture — a fresh OcrEngine per video with a warm XLA disk cache,
+    which UNDERSTATES the reference's per-subprocess cost (interpreter +
+    runtime init not charged).
+
+    `multistream_speedup_shared_engine` is the strict same-engine A/B. It
+    isolates pure batch scheduling, where ~1.0x is the honest ceiling for
+    equal-length same-geometry videos (both sides run full compiled-bucket
+    batches; sharing only compacts per-video tail batches). r3's 5.38x and
+    r4's 0.684x for this number were compile-cache asymmetries inside the
+    timed region — whichever side ran first paid the fresh shape-bucket
+    compiles (~30 s each through the remote-compile tunnel). Fixed by
+    warming the bucket here and by single-bucket padded batches in
+    pipeline/multistream.py."""
     import shutil
 
     from vse_tpu.pipeline.multistream import extract_many_fps
 
     p1 = _bench_video_path(seconds_video)
-    p2 = f"/tmp/vse_bench_copy_{seconds_video}s.mp4"
-    if not os.path.exists(p2):
-        shutil.copy(p1, p2)
+    paths = [p1]
+    for i in range(1, n_videos):
+        p = f"/tmp/vse_bench_copy{i}_{seconds_video}s.mp4"
+        if not os.path.exists(p):
+            shutil.copy(p1, p)
+        paths.append(p)
+
+    # warm the fps-mode compile bucket (full-frame, frame_batch-sized)
+    warm = np.zeros((engine.config.frame_batch, 1080, 1920, 3), np.uint8)
+    engine.predict_batch(warm)
 
     t0 = time.perf_counter()
-    out = extract_many_fps([p1, p2], engine, engine.config)
+    out = extract_many_fps(paths, engine, engine.config)
     dt_shared = time.perf_counter() - t0
     n_shared = sum(len(v) for v in out.values())
 
     t0 = time.perf_counter()
-    n_seq = 0
-    for p in (p1, p2):
-        n_seq += sum(len(v) for v in extract_many_fps([p], engine,
-                                                      engine.config).values())
-    dt_seq = time.perf_counter() - t0
+    for p in paths:
+        extract_many_fps([p], engine, engine.config)
+    dt_seq_shared = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for p in paths:
+        e2 = build_engine(engine.config.mode.value,
+                          engine.config.max_batch_size)
+        extract_many_fps([p], e2, e2.config)
+    dt_seq_queue = time.perf_counter() - t0
+
     return {
         "multistream_fps": round(n_shared / dt_shared, 2),
-        "sequential_fps": round(n_seq / dt_seq, 2),
-        "multistream_speedup": round(dt_seq / dt_shared, 3),
+        "sequential_queue_fps": round(n_shared / dt_seq_queue, 2),
+        "sequential_shared_engine_fps": round(n_shared / dt_seq_shared, 2),
+        "multistream_speedup": round(dt_seq_queue / dt_shared, 3),
+        "multistream_speedup_shared_engine": round(
+            dt_seq_shared / dt_shared, 3),
     }
 
 

@@ -191,8 +191,13 @@ def _many_fps(extractors, engine: OcrEngine, config: VseConfig) -> None:
                                        stride=stride))
         for batch in interleave_streams(streams, config.frame_batch,
                                         crop=band):
+            # feed the full padded batch (TaggedBatch is already
+            # batch_size-shaped): slicing to the valid count would mint a
+            # fresh XLA shape bucket per distinct tail length (~30 s each
+            # through the remote-compile tunnel); padded rows are black
+            # frames that produce no boxes
             nv = int(batch.valid.sum())
-            results = engine.predict_batch(batch.frames[:nv], origin=origin)
+            results = engine.predict_batch(batch.frames, origin=origin)
             for k in range(nv):
                 ex = extractors[ids[int(batch.video_ids[k])]]
                 ex._gate_and_record(int(batch.frame_nos[k]), *results[k])
@@ -213,8 +218,8 @@ def _many_accurate(extractors, engine: OcrEngine, config: VseConfig) -> None:
         trackers = {i: DetSpanTracker(extractors[i]) for i in ids}
         for batch in interleave_streams(streams, config.frame_batch,
                                         crop=band):
-            nv = int(batch.valid.sum())
-            results = engine.predict_batch(batch.frames[:nv], origin=origin)
+            nv = int(batch.valid.sum())  # full padded batch: one bucket
+            results = engine.predict_batch(batch.frames, origin=origin)
             for k in range(nv):
                 vid = ids[int(batch.video_ids[k])]
                 trackers[vid].feed(int(batch.frame_nos[k]), *results[k])
@@ -258,6 +263,11 @@ def _many_keyframe(extractors, engine: OcrEngine, config: VseConfig) -> None:
         for i in range(0, len(idxs), B):
             chunk_ids = idxs[i : i + B]
             chunk = np.stack([todo[j][1] for j in chunk_ids])
+            if len(chunk_ids) < B:
+                # pad the tail chunk to the compiled bucket (see _many_fps)
+                pad = np.zeros((B - len(chunk_ids),) + chunk.shape[1:],
+                               chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
             results = engine.predict_batch(chunk)
             for j, (dt_box, rec_res) in zip(chunk_ids, results):
                 xi, _fc, dy, si, fn = todo[j]
@@ -295,8 +305,8 @@ def extract_many_fps(
                             stride=stride)
             )
         for batch in interleave_streams(streams, config.frame_batch):
-            n_valid = int(batch.valid.sum())
-            results = engine.predict_batch(batch.frames[:n_valid])
+            n_valid = int(batch.valid.sum())  # full padded batch: one bucket
+            results = engine.predict_batch(batch.frames)
             for i in range(n_valid):
                 vid = vid_ids[int(batch.video_ids[i])]
                 dt_box, rec_res = results[i]
