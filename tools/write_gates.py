@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Distill on-chip gate measurements into a committed GATES.json.
+
+Reads the campaign's append-only gate log (/tmp/campaign_r5.jsonl by
+default — one JSON record per tools/eval_rec.py run, last record per
+language wins), joins each against the committed bars in
+tests/test_rec_quality.py FAMILY_GATES, and writes GATES.json at the repo
+root so the evidence for "head X passes its gate" is the measurement
+itself, not a README claim (VERDICT r4 weak #1).
+
+  python tools/write_gates.py [--log /tmp/campaign_r5.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+# language CLI name -> checkpoint family (mirrors tools/campaign_r5.py)
+LANG_TO_FAMILY = {"ar": "arabic"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", default="/tmp/campaign_r5.jsonl")
+    ap.add_argument("--out", default=os.path.join(REPO, "GATES.json"))
+    args = ap.parse_args()
+
+    from test_rec_quality import FAMILY_GATES
+
+    last: dict[str, dict] = {}
+    with open(args.log) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            r = json.loads(ln)
+            if "error" in r or "cer" not in r:
+                continue
+            fam = LANG_TO_FAMILY.get(r["language"], r["language"])
+            last[fam] = r
+
+    prior = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = {row["family"]: row for row in json.load(f)["families"]}
+
+    rows = []
+    for fam in sorted(FAMILY_GATES):
+        cer_bar, em_bar = FAMILY_GATES[fam]
+        r = last.get(fam) or prior.get(fam, {}).get("_raw")
+        if r is None:
+            rows.append({"family": fam, "status": "no measurement",
+                         "gate": {"cer": cer_bar, "exact_match": em_bar}})
+            continue
+        ok = r["cer"] <= cer_bar and r["exact_match"] >= em_bar
+        rows.append({
+            "family": fam,
+            "status": "PASS" if ok else "FAIL",
+            "measured": {"cer": r["cer"], "exact_match": r["exact_match"],
+                         "n": r["n"]},
+            "gate": {"cer": cer_bar, "exact_match": em_bar},
+            "geometry": r.get("geometry"),
+            "gated_at": r.get("gated_at"),
+            "_raw": r,
+        })
+    doc = {
+        "note": "machine-written by tools/write_gates.py from on-chip "
+                "tools/eval_rec.py runs (prod geometry, the exact path "
+                "tests/test_rec_quality.py asserts)",
+        "families": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    for row in rows:
+        m = row.get("measured", {})
+        print(f"{row['family']:12s} {row['status']:14s} "
+              f"cer={m.get('cer', '-')} em={m.get('exact_match', '-')}")
+
+
+if __name__ == "__main__":
+    main()
