@@ -42,6 +42,8 @@ def main():
             r = json.loads(ln)
             if "error" in r or "cer" not in r:
                 continue
+            if r.get("variant", "mobile") != "mobile":
+                continue  # server heads get their own section below
             fam = LANG_TO_FAMILY.get(r["language"], r["language"])
             last[fam] = r
 
@@ -69,11 +71,48 @@ def main():
             "gated_at": r.get("gated_at"),
             "_raw": r,
         })
+    # server-variant heads (VERDICT r4 #7): gated with eval_rec
+    # --mode accurate, which resolves the server checkpoint; a row only
+    # counts when the server variant actually loaded
+    server_rows = []
+    server_log = "/tmp/campaign_r5_server.jsonl"
+    if os.path.exists(server_log):
+        last_srv: dict[str, dict] = {}
+        with open(server_log) as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln:
+                    continue
+                r = json.loads(ln)
+                if "error" in r or r.get("variant") != "server":
+                    continue
+                fam = LANG_TO_FAMILY.get(r["language"], r["language"])
+                last_srv[fam] = r
+        for fam, r in sorted(last_srv.items()):
+            cer_bar, em_bar = FAMILY_GATES.get(fam, (0.05, 0.5))
+            mobile = last.get(fam, {})
+            ok = r["cer"] <= cer_bar and r["exact_match"] >= em_bar
+            server_rows.append({
+                "family": fam,
+                "status": "PASS" if ok else "FAIL",
+                "measured": {"cer": r["cer"],
+                             "exact_match": r["exact_match"], "n": r["n"]},
+                "gate": {"cer": cer_bar, "exact_match": em_bar},
+                "mobile_cer": mobile.get("cer"),
+                "beats_mobile": (r["cer"] <= mobile["cer"]
+                                 if "cer" in mobile else None),
+                "gated_at": r.get("gated_at"),
+            })
+    elif os.path.exists(args.out):
+        with open(args.out) as f:
+            server_rows = json.load(f).get("server_families", [])
+
     doc = {
         "note": "machine-written by tools/write_gates.py from on-chip "
                 "tools/eval_rec.py runs (prod geometry, the exact path "
                 "tests/test_rec_quality.py asserts)",
         "families": rows,
+        "server_families": server_rows,
     }
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
