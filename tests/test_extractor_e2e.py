@@ -309,3 +309,54 @@ def test_det_span_tracker_fade_single_cue(video, tmp_path):
     texts = {t for _, t in ex.recorded}
     assert texts == {clean}, ex.recorded
     assert {fn for fn, _ in ex.recorded} == {0, 7}
+
+
+def test_det_span_tracker_fade_dropout_ghost(video, tmp_path):
+    """A 1-2 frame det dropout inside a fade-out followed by a garbled
+    ghost read must NOT become a spurious cue (r4 fade_960: 12 predicted
+    vs 11 real). The flush grace keeps the run alive across the dropout so
+    the merge-back pass can absorb the ghost; a real >= 0.5 s gap still
+    splits cues."""
+    from vse_tpu.core.config import VseConfig
+    from vse_tpu.core.subtitle_area import SubtitleArea
+    from vse_tpu.pipeline.extractor import DetSpanTracker
+
+    class _Ex:
+        config = VseConfig()
+        sub_area = SubtitleArea(0, 100, 0, 600)
+        recorded = []
+        fps = 25.0
+
+        def _area_text(self, dt_box, rec_res):
+            return "".join(t.replace(" ", "") for t, _ in rec_res)
+
+        def _gate_lines(self, dt_box, rec_res):
+            return [(b, t, p) for b, (t, p) in zip(dt_box, rec_res)]
+
+        def _gate_and_record(self, fn, dt_box, rec_res):
+            self.recorded.append((fn, rec_res[0][0]))
+
+    ex = _Ex()
+    tr = DetSpanTracker(ex)
+    box = [[(10, 20), (200, 20), (200, 60), (10, 60)]]
+
+    def feed(fn, text):
+        tr.feed(fn, box if text else [], [(text, 0.9)] if text else [])
+
+    a, b = "hold on a little longer", "a second cue arrives now"
+    for i in range(0, 8):
+        feed(i, a)             # clean cue A
+    feed(8, "hold on a littl")  # fade-out partial
+    feed(9, "")                # det dropout (2 frames, < grace)
+    feed(10, "")
+    feed(11, "hl o")           # ghost fragment read
+    for i in range(12, 26):
+        feed(i, "")            # real gap (>= grace -> flush)
+    for i in range(26, 34):
+        feed(i, b)             # clean cue B
+    tr.finish()
+    texts = {t for _, t in ex.recorded}
+    assert texts == {a, b}, ex.recorded
+    # cue A's records all predate cue B's first frame
+    a_frames = [fn for fn, t in ex.recorded if t == a]
+    assert max(a_frames) <= 11 and min(a_frames) == 0

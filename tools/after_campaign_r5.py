@@ -110,10 +110,12 @@ def main():
 
     if not args.skip_gates:
         log("===== slow gate suite on chip")
+        os.environ["VSE_TESTS_ON_TPU"] = "1"  # conftest escape hatch
         run_watched(
             [sys.executable, "-m", "pytest",
              "tests/test_rec_quality.py", "-v", "-rA"],
             "/tmp/gate_suite.log", stall_secs=2400, max_kills=1)
+        os.environ.pop("VSE_TESTS_ON_TPU", None)
         run_watched(
             [sys.executable, os.path.join(REPO, "tools", "write_gates.py")],
             "/tmp/write_gates.log", stall_secs=600, max_kills=1)

@@ -143,6 +143,16 @@ class DetSpanTracker:
         # one-frame debounce lost to multi-frame fades: fade_960 F1 0.381,
         # VERDICT r3 weak #2)
         self.buf: list = []  # [(frame_no, area_text, conf, dt_box, rec_res)]
+        # flush grace: a 1-4 frame det dropout inside a fade must NOT end
+        # the run — flushing there strands the post-dropout ghost read in
+        # its own buffer, beyond the reach of the merge-back pass, and it
+        # surfaces as a spurious cue (r4 fade_960: 12 predicted vs 11 real).
+        # Real inter-cue gaps are >= ~0.5 s (>= 12 frames at stride 1), so
+        # ~0.2 s of absence is safely fade-flicker, not a cue boundary. Cue
+        # edge timing is unaffected: _emit records the group's own first /
+        # last text frames, never the flush frame.
+        fps = float(getattr(extractor, "fps", 0.0) or 25.0)
+        self.grace = max(2, round(0.2 * fps))
 
     def _emit(self, groups: list) -> None:
         # record both edges of every cue group (the reference enqueues start
@@ -180,7 +190,8 @@ class DetSpanTracker:
                 has_subtitle = True
                 break
         if not has_subtitle:
-            self._flush()
+            if self.buf and frame_no - self.buf[-1][0] >= self.grace:
+                self._flush()
             return
         area_text = ex._area_text(dt_box, rec_res)
         kept = ex._gate_lines(dt_box, rec_res)
