@@ -25,7 +25,7 @@ FAMILY_GATES = {
     "latin": (0.05, 0.6),
     "cyrillic": (0.05, 0.6),
     "el": (0.05, 0.6),
-    "ka": (0.06, 0.55),
+    "ka": (0.05, 0.6),  # r5: measured 0.0/1.0 — the r4-era softer bar is gone
     "arabic": (0.05, 0.5),
     "korean": (0.05, 0.6),
     "th": (0.05, 0.5),
