@@ -90,7 +90,9 @@ def main():
                 last_srv[fam] = r
         for fam, r in sorted(last_srv.items()):
             cer_bar, em_bar = FAMILY_GATES.get(fam, (0.05, 0.5))
-            mobile = last.get(fam, {})
+            # mobile comparison point: this campaign log, else the committed
+            # GATES row (the log lives in /tmp and does not survive reboots)
+            mobile = last.get(fam) or prior.get(fam, {}).get("_raw", {})
             ok = r["cer"] <= cer_bar and r["exact_match"] >= em_bar
             server_rows.append({
                 "family": fam,
