@@ -21,6 +21,11 @@ import threading
 import time
 from typing import Dict
 
+# persist XLA compiles across training invocations: campaign gate-retries
+# and wedge-restart resumes re-jit the same chunk program, and a fresh
+# compile costs minutes through the remote-compile tunnel
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vse_jax_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
