@@ -15,6 +15,21 @@ demux/decode and text post-processing.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms:
+    # Some environments register an accelerator PJRT plugin from
+    # sitecustomize and pin the platform there, which silently overrides an
+    # explicit `JAX_PLATFORMS=cpu vse ...` — a "CPU run" then grabs the real
+    # chip (and collides with whatever owns it). Re-pin to what the user
+    # asked for; no-op when the config already matches. Must run before the
+    # first backend initialization, hence package import time.
+    import jax as _jax
+
+    if _jax.config.jax_platforms != _env_platforms:
+        _jax.config.update("jax_platforms", _env_platforms)
+
 from vse_tpu.core.config import VseConfig, default_config
 from vse_tpu.core.subtitle_area import SubtitleArea
 
