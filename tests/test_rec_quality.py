@@ -50,6 +50,9 @@ FAMILY_GATES = {
 # beats random-init by orders of magnitude for e2e japan extraction.
 BELOW_BAR_FLOORS = {
     "japan": (0.20, 0.30),
+    # same plateau, same cause: the traditional composed set at 48 px
+    # after the prod squeeze has even denser confusable glyph pairs
+    "chinese_cht": (0.20, 0.30),
 }
 
 
