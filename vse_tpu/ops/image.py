@@ -382,8 +382,22 @@ def ink_rows(crop: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     rng = jnp.max(e) - lo
     mask = (e - lo) > 0.12 * rng
     idx = jnp.arange(h)
-    y0 = jnp.min(jnp.where(mask, idx, h))
-    y1 = jnp.max(jnp.where(mask, idx, -1))
+    # Two-line cues: the y-expansion of one line's det box reaches the
+    # neighboring subtitle line, and a global min/max ink extent then merges
+    # both ink bands — the re-crop squeezes ~1.5 lines into the rec window
+    # and garbles the text (r5: two_line_960 e2e F1 1.0 -> 0.70 under the
+    # ink-tight geometry). The det box is centered on its OWN line, so keep
+    # only the contiguous inked run containing the crop center: bridge
+    # 1-2-row dips first (dot/diacritic gaps must not split a band), then
+    # stop at the nearest >=3-row clean gap on each side.
+    dm = mask | jnp.concatenate([mask[1:], mask[-1:]]) \
+        | jnp.concatenate([mask[:1], mask[:-1]])
+    c = h // 2
+    y0run = jnp.max(jnp.where((~dm) & (idx <= c), idx, -1)) + 1
+    y1run = jnp.min(jnp.where((~dm) & (idx >= c), idx, h)) - 1
+    # tightest raw-ink rows inside the bridged center run
+    y0 = jnp.min(jnp.where(mask & (idx >= y0run), idx, h))
+    y1 = jnp.max(jnp.where(mask & (idx <= y1run), idx, -1))
     ok = (rng > 2.0) & (y1 - y0 >= 3) & (y1 - y0 <= h - 2)
     return y0, y1, ok
 
