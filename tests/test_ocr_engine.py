@@ -169,3 +169,37 @@ def test_rectify_reads_tilted_subtitle():
     from vse_tpu.ops.levenshtein import ratio
 
     assert ratio(joined, "helloworld") >= 0.8, rec_res
+
+
+def test_wide_rec_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """A checkpoint trained with hidden/cnn_scale overrides (large-vocab CJK
+    mobile heads — models/crnn.py) must rebuild the exact architecture from
+    vse_meta.json; a silent fallback to the variant defaults would fail the
+    shape-checked load and run random-init."""
+    import jax
+    import jax.numpy as jnp
+
+    from vse_tpu.core.charset import get_charset
+    from vse_tpu.core.registry import rec_ckpt_path, save_params
+    from vse_tpu.models.crnn import CRNNRecognizer
+
+    monkeypatch.setenv("VSE_MODELS", str(tmp_path))
+    cs = get_charset("en").folded().without_space()
+    m = CRNNRecognizer(vocab_size=cs.vocab_size, variant="mobile",
+                       hidden=128, cnn_scale=0.75, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 320, 3)), train=True)
+    save_params(
+        {"params": v["params"], "batch_stats": v["batch_stats"]},
+        rec_ckpt_path("en", "mobile"),
+        meta={"language": "en", "use_space_char": False, "fold_case": True,
+              "vocab_size": cs.vocab_size, "variant": "mobile", "hidden": 128,
+              "cnn_scale": 0.75, "jamo": False, "homoglyph_fold": False,
+              "geometry": "tight1", "step": 1},
+    )
+    eng = OcrEngine(language="en", mode=Mode.FAST,
+                    config=VseConfig(language="en", mode=Mode.FAST))
+    assert eng.rec_loaded
+    assert eng.rec_model.hidden == 128
+    assert eng.rec_model.cnn_scale == 0.75
+    out = eng.rec_model.apply(eng.rec_params, jnp.zeros((1, 48, 320, 3)))
+    assert out.shape == (1, 80, cs.vocab_size + 1)

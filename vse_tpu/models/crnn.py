@@ -59,10 +59,21 @@ class CRNNRecognizer(nn.Module):
 
     variant="mobile": MobileNetV3-small x0.5, hidden 48 (the reference's
     *_rec_fast class). variant="server": MobileNetV3-large x1.0, hidden 256.
+
+    `hidden` / `cnn_scale` override the variant defaults. Large-vocab
+    ideograph families need them: a 96-dim BiLSTM feature separating 1.7k+
+    CJK classes underfits hard (r5: japan/chinese_cht plateaued at CER
+    ~0.14-0.16 / probe-exact 0 after 40k steps at the mobile defaults while
+    1k-class ch passed at 0.0219 — the errors were substitutions between
+    visually unrelated ideographs, i.e. feature collapse, not render
+    ambiguity). A trained checkpoint records its overrides in vse_meta.json
+    so the engine rebuilds the exact architecture (ocr_engine.py).
     """
 
     vocab_size: int  # number of real characters (blank is added internally)
     variant: str = "mobile"
+    hidden: int = 0  # 0 = variant default (mobile 48 / server 256)
+    cnn_scale: float = 0.0  # 0 = variant default (mobile 0.5 / server 1.0)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -74,11 +85,13 @@ class CRNNRecognizer(nn.Module):
         """images: [B, H, W, 3] normalized crops -> logits [B, W//4, vocab+1]."""
         x = images.astype(self.dtype)
         if self.variant == "mobile":
-            x = MobileNetV3Rec(arch="small", scale=0.5, dtype=self.dtype)(x, train)
-            hidden = 48
+            scale = self.cnn_scale or 0.5
+            x = MobileNetV3Rec(arch="small", scale=scale, dtype=self.dtype)(x, train)
+            hidden = self.hidden or 48
         elif self.variant == "server":
-            x = MobileNetV3Rec(arch="large", scale=1.0, dtype=self.dtype)(x, train)
-            hidden = 256
+            scale = self.cnn_scale or 1.0
+            x = MobileNetV3Rec(arch="large", scale=scale, dtype=self.dtype)(x, train)
+            hidden = self.hidden or 256
         else:
             raise ValueError(f"unknown rec variant {self.variant}")
         x = BiLSTM(hidden, dtype=self.dtype, name="lstm1")(x)

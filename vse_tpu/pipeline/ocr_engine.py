@@ -199,8 +199,14 @@ class OcrEngine:
                     "degrade; retrain the head or match the config.",
                     stacklevel=2,
                 )
+        # hidden / cnn_scale overrides are part of the trained weights'
+        # architecture (large-vocab CJK mobile heads train wider — see
+        # models/crnn.py); absent keys fall back to the variant defaults,
+        # so pre-override checkpoints rebuild unchanged
         self.rec_model = CRNNRecognizer(
-            vocab_size=self.charset.vocab_size, variant=self.rec_variant
+            vocab_size=self.charset.vocab_size, variant=self.rec_variant,
+            hidden=int((rec_meta or {}).get("hidden", 0) or 0),
+            cnn_scale=float((rec_meta or {}).get("cnn_scale", 0.0) or 0.0),
         )
         self.rec_h = self.config.rec_image_height
         self.rec_w = self.config.rec_image_width

@@ -160,7 +160,8 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
               variant: str = "mobile", log_every: int = 50,
               pregen: int = 0, use_space: bool = False,
               fold_case: bool = True, device_data: bool = True,
-              fresh: bool = False, fresh_opt: bool = False) -> str:
+              fresh: bool = False, fresh_opt: bool = False,
+              hidden: int = 0, cnn_scale: float = 0.0) -> str:
     """`pregen` > 0: render that many batches up front (curriculum-ordered
     clean->hard) and epoch over them — host PIL rendering is GIL-bound and
     otherwise starves the TPU (~4.5 s/step live vs ~50 ms cached).
@@ -202,7 +203,8 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     # fresh-data loss frozen at ~17.6 in bf16 vs steadily dropping in fp32);
     # inference still runs the trained fp32 params through the bf16 graph
     rec = CRNNRecognizer(
-        vocab_size=charset.vocab_size, variant=variant, dtype=jnp.float32
+        vocab_size=charset.vocab_size, variant=variant, dtype=jnp.float32,
+        hidden=hidden, cnn_scale=cnn_scale,
     )
     variables = jax.jit(rec.init, static_argnames=("train",))(
         jax.random.PRNGKey(seed), jnp.zeros((1, cfg.rec_h, cfg.rec_w, 3)),
@@ -216,7 +218,9 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
     prior_step = 0
     if not fresh and os.path.isdir(path):
         pm = load_meta(path)
-        if pm and pm.get("vocab_size") == charset.vocab_size:
+        if (pm and pm.get("vocab_size") == charset.vocab_size
+                and int(pm.get("hidden", 0)) == hidden
+                and float(pm.get("cnn_scale", 0.0)) == cnn_scale):
             prior_step = int(pm.get("step", 0))
     sched_steps = max(1, steps - prior_step) if fresh_opt else steps
     warmup = 200 if (fresh_opt and prior_step) else 100
@@ -281,6 +285,8 @@ def train_rec(language: str, steps: int, batch: int, lr: float, seed: int,
         "fold_case": charset.fold_case,
         "vocab_size": charset.vocab_size,
         "variant": variant,
+        "hidden": hidden,
+        "cnn_scale": cnn_scale,
         "jamo": is_jamo,
         "homoglyph_fold": bool(charset.aliases),
         # the crop geometry this head was trained for (the engine warns on
@@ -683,6 +689,12 @@ def main():
     pr.add_argument("--fresh-opt", action="store_true", dest="fresh_opt",
                     help="warm-start params but re-init the optimizer with "
                          "a full LR schedule over the remaining steps")
+    pr.add_argument("--hidden", type=int, default=0,
+                    help="BiLSTM width override (0 = variant default; "
+                         "large-vocab CJK mobile heads need 128)")
+    pr.add_argument("--cnn-scale", type=float, default=0.0, dest="cnn_scale",
+                    help="MobileNetV3 width multiplier override "
+                         "(0 = variant default)")
     pren = sub.add_parser("render", help="host-only dataset pre-render")
     pren.add_argument("--language", default="en")
     pren.add_argument("--pregen", type=int, default=600)
@@ -710,7 +722,8 @@ def main():
         train_rec(args.language, args.steps, args.batch, args.lr, args.seed,
                   args.variant, pregen=args.pregen, use_space=args.use_space,
                   device_data=not args.host_data, fresh=args.fresh,
-                  fresh_opt=args.fresh_opt)
+                  fresh_opt=args.fresh_opt, hidden=args.hidden,
+                  cnn_scale=args.cnn_scale)
     else:
         train_det(args.steps, args.batch, args.lr, args.seed, args.variant,
                   pregen=args.pregen)
