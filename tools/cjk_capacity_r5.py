@@ -88,7 +88,9 @@ def main():
              "vse_tpu.train.pretrain", "rec", "--language", family,
              "--steps", str(steps), "--batch", "64", "--pregen", "600",
              "--hidden", HIDDEN, "--cnn-scale", CNN_SCALE],
-            f"/tmp/train_{family}_wide.log", stall_secs=900, max_kills=1)
+            # max_kills=0: a deadline (`timeout`) kill must NOT retry — a
+            # second attempt would double the wall budget past the deadline
+            f"/tmp/train_{family}_wide.log", stall_secs=900, max_kills=0)
         if not os.path.isdir(ckdir):
             log(f"{family}: no checkpoint produced (rc={rc}) — restoring "
                 "committed head")
